@@ -1,13 +1,588 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Text
+import graft.model.Doc
+import graft.operators._
+import graft.pipeline.KgPipeline
+import graft.sources.Tables
+
+/** Driver contract (SURVEY.md §7): one `queries` entry per implemented
+  * operator of SURVEY.md §2, each with DuckDB-equivalent oracle SQL where
+  * SQL-expressible. Oracle SQL is GENERATED from the same Scala constants
+  * (patterns, dictionaries, marker lists) that drive the Spark plans —
+  * single source of truth, no drift.
+  *
+  * Cross-engine determinism rules applied throughout:
+  *  - double aggregation goes through exact decimal sums (order-independent)
+  *    and is cast to double at the end;
+  *  - per-row double arithmetic keeps identical operand order (IEEE-stable);
+  *  - regexes stay in the Java∩RE2 shared dialect;
+  *  - outputs avoid arrays/maps/timestamps (strings, longs, doubles only)
+  *    and are totally ordered by a unique key.
+  */
 object SparkEntry {
+
+  final case class QuerySpec(
+      name: String,
+      impl: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  // ---------------------------------------------------------------------
+  // Shared SQL fragments (DuckDB dialect), generated from engine constants.
+  // ---------------------------------------------------------------------
+
+  private val cleanedRel: String =
+    s"(SELECT doc_id, lang, source, text, ${Text.cleanupSqlDuck("text")} AS cleaned FROM documents)"
+
+  private def taggedRel: String =
+    Tagger.tagSqlDuck(Seq("doc_id", "lang"), "cleaned", s"$cleanedRel c")
+
+  private val thr = Tagger.threshold
+
+  // Spark-side cleaned documents (doc_id, lang, source, cleaned)
+  private def cleanedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        Text.cleanup(col("text")).as("cleaned"))
+
+  // Spark-side tagged mentions (doc_id, lang, label, confidence, mention)
+  private def taggedMentions(s: SparkSession, dir: String): DataFrame =
+    Tagger.tagMentions(
+      cleanedDocs(s, dir).select("doc_id", "lang", "cleaned"), "cleaned")
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ---------------------------------------------------------------------
+  // The registry.
+  // ---------------------------------------------------------------------
+
+  val registry: Seq[QuerySpec] = Seq(
+
+    // ---- P1: cleanup (sentsplitter.py:10-18) ---------------------------
+    QuerySpec("p1_cleanup",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), Text.cleanup(col("text")).as("cleaned"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${Text.cleanupSqlDuck("text")} AS cleaned " +
+        "FROM documents ORDER BY doc_id")),
+
+    // ---- P2: PUA codepoint strip (notebook cell 3) ---------------------
+    QuerySpec("p2_pua_strip",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), Text.puaStrip(col("text")).as("stripped"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${Text.puaStripSqlDuck("text")} AS stripped " +
+        "FROM documents ORDER BY doc_id")),
+
+    // ---- P3: dateline strip (notebook cell 3) --------------------------
+    QuerySpec("p3_dateline",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), Text.datelineStrip(col("text")).as("body"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${Text.datelineStripSqlDuck("text")} AS body " +
+        "FROM documents ORDER BY doc_id")),
+
+    // ---- P4: confidence threshold (middleware.py:59-63, >= 0.95) -------
+    QuerySpec("p4_threshold",
+      (s, dir) => taggedMentions(s, dir)
+        .filter(col("confidence") >= thr)
+        .select("doc_id", "label", "mention", "confidence")
+        .orderBy("doc_id", "label", "mention"),
+      Some(s"SELECT doc_id, label, mention, confidence FROM $taggedRel t " +
+        s"WHERE confidence >= $thr ORDER BY doc_id, label, mention")),
+
+    // ---- P5: language filter (notebook cell 6) -------------------------
+    QuerySpec("p5_lang_filter",
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("lang").isin("de", "en"))
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("SELECT doc_id, lang FROM documents WHERE lang IN ('de','en') " +
+        "ORDER BY doc_id")),
+
+    // ---- P6: label remap via broadcast dimension (notebook cell 6) -----
+    QuerySpec("p6_label_remap",
+      (s, dir) => {
+        import s.implicits._
+        val remap = Seq(("en", "en"), ("de", "de"), ("fr", "other"),
+          ("es", "other"), ("zh", "other")).toDF("lang", "lang_group")
+        Tables.documents(s, dir).select("doc_id", "lang")
+          .join(broadcast(remap), Seq("lang"))
+          .select("doc_id", "lang_group").orderBy("doc_id")
+      },
+      Some("SELECT doc_id, CASE WHEN lang IN ('fr','es','zh') THEN 'other' " +
+        "ELSE lang END AS lang_group FROM documents ORDER BY doc_id")),
+
+    // ---- P7: content hashing (cacheServer.py:34; sha256 row invariant) -
+    QuerySpec("p7_sha256",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), Text.sha256Hex(col("text")).as("content_sha"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${Text.sha256SqlDuck("text")} AS content_sha " +
+        "FROM documents ORDER BY doc_id")),
+
+    // ---- G1: sentence split + posexplode (sentsplitter.py:20-29) -------
+    // UDF-based (the allowed tokenizer UDF) => rows-only driver check.
+    QuerySpec("g1_split",
+      (s, dir) => Splitter.explodeSentences(Tables.docsDf(s, dir))
+        .select("repo", "path", "sent_idx", "sentence")
+        .orderBy("repo", "path", "sent_idx"),
+      None),
+
+    // ---- G3: greedy re-chunking (ner.py:183-192, exact incl. overshoot) -
+    QuerySpec("g3_chunk",
+      (s, dir) => Chunker.explodeChunks(
+          Tables.documents(s, dir).withColumnRenamed("text", "content"),
+          maxNoSplit = 200)
+        .select("doc_id", "chunk_idx", "chunk")
+        .orderBy("doc_id", "chunk_idx"),
+      None),
+
+    // ---- G4: deterministic tagger (modelServer.py:65-79 replacement) ----
+    QuerySpec("g4_tag",
+      (s, dir) => taggedMentions(s, dir)
+        .select("doc_id", "label", "confidence", "mention")
+        .orderBy("doc_id", "label", "mention"),
+      Some(s"SELECT doc_id, label, confidence, mention FROM $taggedRel t " +
+        "ORDER BY doc_id, label, mention")),
+
+    // ---- G5: lemma/article-drop normalization (middlewareServer.py:90-131)
+    QuerySpec("g5_lemma",
+      (s, dir) => taggedMentions(s, dir)
+        .filter(col("confidence") >= thr)
+        .select("doc_id", "mention").distinct()
+        .withColumn("mention_norm", Lemmatizer.normalizeMention(col("mention")))
+        .orderBy("doc_id", "mention"),
+      Some(s"SELECT DISTINCT doc_id, mention, " +
+        s"${Lemmatizer.normalizeSqlDuck("mention")} AS mention_norm " +
+        s"FROM $taggedRel t WHERE confidence >= $thr " +
+        "ORDER BY doc_id, mention")),
+
+    // ---- A1: group-by-label entity dedup (middleware.py:45-69) ----------
+    QuerySpec("a1_entity_map",
+      (s, dir) => taggedMentions(s, dir)
+        .filter(col("confidence") >= thr)
+        .groupBy("doc_id", "label")
+        .agg(concat_ws(",", array_sort(collect_set(col("mention"))))
+          .as("entities"))
+        .orderBy("doc_id", "label"),
+      Some(s"SELECT doc_id, label, " +
+        "string_agg(DISTINCT mention, ',' ORDER BY mention) AS entities " +
+        s"FROM $taggedRel t WHERE confidence >= $thr " +
+        "GROUP BY doc_id, label ORDER BY doc_id, label")),
+
+    // ---- A2: sentiment aggregate (middleware.py:14-43) ------------------
+    // Exact decimal sums (order-independent), cast to double at the end.
+    QuerySpec("a2_sentiment",
+      (s, dir) => {
+        val pos = Seq("click", "purchase")
+        val neg = Seq("error")
+        val e = Tables.events(s, dir)
+        val signed = when(col("event_type").isin(pos: _*), dec(col("value")))
+          .when(col("event_type").isin(neg: _*), -dec(col("value")))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))
+        val known = when(col("event_type").isin(pos ++ neg: _*), 1L).otherwise(0L)
+        e.groupBy("user_id")
+          .agg((sum(signed).cast("double") / nullif(sum(known), lit(0L)))
+            .as("score"))
+          .orderBy("user_id")
+      },
+      Some("SELECT user_id, CAST(sum(CASE " +
+        "WHEN event_type IN ('click','purchase') THEN CAST(value AS DECIMAL(18,2)) " +
+        "WHEN event_type IN ('error') THEN -CAST(value AS DECIMAL(18,2)) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / " +
+        "nullif(sum(CASE WHEN event_type IN ('click','purchase','error') " +
+        "THEN 1 ELSE 0 END), 0) AS score " +
+        "FROM events GROUP BY user_id ORDER BY user_id")),
+
+    // ---- A4: chunk-result merge (ner.py:196-203) — rows-only ------------
+    QuerySpec("a4_merge",
+      (s, dir) => {
+        val chunked = Chunker.explodeChunks(
+          Tables.documents(s, dir).withColumnRenamed("text", "content"),
+          maxNoSplit = 200)
+        Tagger.tagMentions(
+            chunked.select(col("doc_id"), Text.cleanup(col("chunk")).as("chunk")),
+            "chunk")
+          .filter(col("confidence") >= thr)
+          .groupBy("doc_id", "label")
+          .agg(concat_ws(",", array_sort(collect_set(col("mention"))))
+            .as("entities"))
+          .orderBy("doc_id", "label")
+      },
+      None),
+
+    // ---- J1: cache lookup-or-compute as dedup + anti-join (ner.py:141-157)
+    QuerySpec("j1_cache_dedup",
+      (s, dir) => {
+        val keyed = Tables.documents(s, dir)
+          .select(Text.sha256Hex(col("text")).as("k"), col("doc_id"))
+        val cache = keyed.filter(col("doc_id") < 100).select("k").distinct()
+        keyed.groupBy("k")
+          .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n"))
+          .join(cache, Seq("k"), "left_anti")
+          .orderBy("k")
+      },
+      Some("WITH keyed AS (SELECT sha256(text) AS k, doc_id FROM documents) " +
+        "SELECT k, min(doc_id) AS first_doc, count(*) AS n FROM keyed " +
+        "WHERE k NOT IN (SELECT k FROM keyed WHERE doc_id < 100) " +
+        "GROUP BY k ORDER BY k")),
+
+    // ---- J2: entity linking (north-star; broadcast dict + window pick) --
+    QuerySpec("j2_link",
+      (s, dir) => Linker.link(s,
+          taggedMentions(s, dir).filter(col("confidence") >= thr)
+            .select("doc_id", "lang", "label", "mention", "confidence")
+            .distinct(),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("mention"), col("entity_id"),
+          col("score").cast("double").as("score"))
+        .orderBy("doc_id", "mention"),
+      Some(s"""WITH m AS (SELECT DISTINCT doc_id, lang, mention FROM $taggedRel t WHERE confidence >= $thr),
+        |n AS (SELECT doc_id, lang, mention, ${Lemmatizer.normalizeSqlDuck("mention")} AS mention_norm FROM m),
+        |cand AS (SELECT n.doc_id, n.mention, d.entity_id,
+        |  d.prior + CASE WHEN n.lang = d.pref_lang THEN CAST(${Tagger.langBonus} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS score
+        |  FROM n JOIN ${Tagger.aliasSqlDuck} d ON n.mention_norm = d.alias_norm
+        |  WHERE length(n.mention_norm) > 0)
+        |SELECT doc_id, mention, entity_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention ORDER BY score DESC, entity_id) AS rn FROM cand) w
+        |WHERE rn = 1 ORDER BY doc_id, mention""".stripMargin)),
+
+    // ---- J3: canonicalization via connected components (north-star) -----
+    QuerySpec("j3_canon",
+      (s, dir) => {
+        val linked = Linker.link(s,
+          taggedMentions(s, dir).filter(col("confidence") >= thr)
+            .select("doc_id", "lang", "label", "mention", "confidence")
+            .distinct(),
+          Seq("doc_id"))
+        KgPipeline.canonMap(s, linked, Seq("doc_id")).orderBy("entity_id")
+      },
+      Some(s"""WITH RECURSIVE m AS (SELECT DISTINCT doc_id, lang, mention FROM $taggedRel t WHERE confidence >= $thr),
+        |n AS (SELECT doc_id, lang, mention, ${Lemmatizer.normalizeSqlDuck("mention")} AS mention_norm FROM m),
+        |cand AS (SELECT n.doc_id, n.mention, d.entity_id,
+        |  d.prior + CASE WHEN n.lang = d.pref_lang THEN CAST(${Tagger.langBonus} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS score
+        |  FROM n JOIN ${Tagger.aliasSqlDuck} d ON n.mention_norm = d.alias_norm
+        |  WHERE length(n.mention_norm) > 0),
+        |links AS (SELECT doc_id, entity_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention ORDER BY score DESC, entity_id) AS rn FROM cand) w
+        |  WHERE rn = 1),
+        |perdoc AS (SELECT DISTINCT doc_id, entity_id FROM links),
+        |pairs AS (SELECT DISTINCT a.entity_id AS s, b.entity_id AS d FROM perdoc a
+        |  JOIN perdoc b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id),
+        |edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+        |nodes AS (SELECT DISTINCT entity_id AS nd FROM links),
+        |reach(nd, lbl) AS (SELECT nd, nd FROM nodes
+        |  UNION SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.nd)
+        |SELECT nd AS entity_id, min(lbl) AS canon_id FROM reach GROUP BY nd ORDER BY entity_id""".stripMargin)),
+
+    // ---- O2: retention top-K by recency (ner-clean-cache.sh:9) ----------
+    QuerySpec("o2_retention",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 100)
+          .select("event_type", "event_id", "rn")
+          .orderBy("event_type", "rn")
+      },
+      Some("SELECT event_type, event_id, rn FROM (SELECT event_type, event_id, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) w WHERE rn <= 100 ORDER BY event_type, rn")),
+
+    // ---- O3: deterministic stratified split (notebook cells 10-13) ------
+    QuerySpec("o3_strat_split",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(Text.hexBucket(col("doc_id")) < 204, "train")
+            .when(Text.hexBucket(col("doc_id")) < 230, "dev")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CASE " +
+        s"WHEN ${Text.hexBucketSqlDuck("doc_id")} < 204 THEN 'train' " +
+        s"WHEN ${Text.hexBucketSqlDuck("doc_id")} < 230 THEN 'dev' " +
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id")),
+
+    // ---- kg_triples: the flagship end-to-end (north rule) ---------------
+    QuerySpec("kg_triples",
+      (s, dir) => KgPipeline.triples(s, Tables.docsDf(s, dir))
+        .orderBy("subj", "pred", "obj"),
+      Some {
+        val subj = "source || '/docs/' || CAST(doc_id AS VARCHAR) || '.txt@' || " +
+          "substr(sha256(source || '/' || CAST(doc_id AS VARCHAR)), 1, 40)"
+        s"""WITH t AS (SELECT doc_id, lang, source, label, confidence, mention FROM
+          |  ${Tagger.tagSqlDuck(Seq("doc_id", "lang", "source"), "cleaned", s"$cleanedRel c")} x),
+          |m AS (SELECT DISTINCT doc_id, lang, source, label, mention FROM t WHERE confidence >= $thr),
+          |n AS (SELECT *, ${Lemmatizer.normalizeSqlDuck("mention")} AS mention_norm FROM m),
+          |cand AS (SELECT n.doc_id, n.lang, n.source, n.label, n.mention, d.entity_id,
+          |  d.prior + CASE WHEN n.lang = d.pref_lang THEN CAST(${Tagger.langBonus} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS score
+          |  FROM n JOIN ${Tagger.aliasSqlDuck} d ON n.mention_norm = d.alias_norm
+          |  WHERE length(n.mention_norm) > 0),
+          |links AS (SELECT doc_id, lang, source, label, entity_id FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention ORDER BY score DESC, entity_id) AS rn FROM cand) w
+          |  WHERE rn = 1)
+          |SELECT DISTINCT $subj AS subj, 'mentions:' || label AS pred, entity_id AS obj,
+          |  source AS repo, lang
+          |FROM links ORDER BY subj, pred, obj""".stripMargin
+      }),
+
+    // ---- dedup: exact (hash-groupBy) -------------------------------------
+    QuerySpec("dedup_exact",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(Text.sha256Hex(col("text")).as("k"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("k"),
+      Some("SELECT sha256(text) AS k, min(doc_id) AS keeper, count(*) AS n_copies " +
+        "FROM documents GROUP BY sha256(text) ORDER BY k")),
+
+    // ---- dedup: MinHash signatures ---------------------------------------
+    QuerySpec("dedup_minhash",
+      (s, dir) => cleanedDocs(s, dir)
+        .select(col("doc_id"),
+          Dedup.signature(Dedup.shingles(Dedup.tokens(col("cleaned"))))
+            .as("sig"))
+        .orderBy("doc_id"),
+      Some {
+        val sh = Dedup.shinglesSqlDuck("string_split(cleaned, ' ')")
+        s"SELECT doc_id, ${Dedup.signatureSqlDuck(sh)} AS sig " +
+          s"FROM $cleanedRel c ORDER BY doc_id"
+      }),
+
+    // ---- dedup: MinHash LSH banding -> candidate pairs -------------------
+    QuerySpec("dedup_lsh_pairs",
+      (s, dir) => {
+        val sh = cleanedDocs(s, dir).select(col("doc_id"),
+          Dedup.shingles(Dedup.tokens(col("cleaned"))).as("sh"))
+        val bands = sh.select(col("doc_id"),
+          explode(Dedup.bandKeys(col("sh"))).as("band"))
+        val a = bands.withColumnRenamed("doc_id", "da")
+        val b = bands.withColumnRenamed("doc_id", "db")
+        a.join(b, Seq("band")).filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("n_bands"))
+          .orderBy("da", "db")
+      },
+      Some {
+        val sh = Dedup.shinglesSqlDuck("string_split(cleaned, ' ')")
+        val keys = Dedup.bandKeysSqlDuck("sh").mkString("[", ", ", "]")
+        s"""WITH s AS (SELECT doc_id, $sh AS sh FROM $cleanedRel c),
+          |bands AS (SELECT doc_id, unnest($keys) AS band FROM s)
+          |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_bands
+          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // ---- dedup: SimHash ---------------------------------------------------
+    QuerySpec("dedup_simhash",
+      (s, dir) => Dedup.simhash(
+          cleanedDocs(s, dir).select(col("doc_id"),
+            explode(Dedup.tokens(col("cleaned"))).as("token")),
+          Seq("doc_id"))
+        .orderBy("doc_id"),
+      Some {
+        val toks = s"(SELECT doc_id, u.t AS token FROM $cleanedRel c, " +
+          "unnest(string_split(c.cleaned, ' ')) u(t))"
+        s"SELECT doc_id, simhash FROM " +
+          s"${Dedup.simhashSqlDuck(Seq("doc_id"), "token", s"$toks tt")} z " +
+          "ORDER BY doc_id"
+      }),
+
+    // ---- dedup: n-gram Jaccard over blocked pairs -------------------------
+    QuerySpec("dedup_jaccard",
+      (s, dir) => {
+        val sh = cleanedDocs(s, dir)
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("lang"),
+            array_distinct(Dedup.shingles(Dedup.tokens(col("cleaned"))))
+              .as("sh"))
+        val a = sh.select(col("lang"), col("doc_id").as("da"), col("sh").as("sa"))
+        val b = sh.select(col("lang"), col("doc_id").as("db"), col("sh").as("sb"))
+        a.join(b, Seq("lang")).filter(col("da") < col("db"))
+          .select(col("da"), col("db"),
+            round(Dedup.jaccard(col("sa"), col("sb")), 6).as("jac"))
+          .filter(col("jac") >= 0.05)
+          .orderBy("da", "db")
+      },
+      Some {
+        val sh = Dedup.shinglesSqlDuck("string_split(cleaned, ' ')")
+        s"""WITH s AS (SELECT doc_id, lang, list_distinct($sh) AS sh FROM $cleanedRel c WHERE doc_id % 5 = 0)
+          |SELECT da, db, jac FROM (
+          |  SELECT a.doc_id AS da, b.doc_id AS db,
+          |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jac
+          |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+          |WHERE jac >= 0.05 ORDER BY da, db""".stripMargin
+      }),
+
+    // ---- similarity: brute-force cosine top-k ------------------------------
+    QuerySpec("ann_cosine",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 3)
+          .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos"))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val dot = Similarity.dotSqlDuck("q.qe", "c.ce")
+        val na = Similarity.dotSqlDuck("q.qe", "q.qe")
+        val nb = Similarity.dotSqlDuck("c.ce", "c.ce")
+        s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+          |scored AS (SELECT qid, nid, ($dot) / (sqrt($na) * sqrt($nb)) AS cos
+          |  FROM c CROSS JOIN q WHERE qid <> nid),
+          |ranked AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM scored)
+          |SELECT qid, nid, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+      }),
+
+    // ---- similarity: LSH-bucketed ANN (scale path; recall vs brute force
+    // asserted in tests) — rows-only for the driver ---------------------------
+    QuerySpec("ann_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, 3)
+          .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos"))
+          .orderBy("qid", "rank")
+      },
+      None),
+
+    // ---- text analysis: language ID ----------------------------------------
+    QuerySpec("lang_id",
+      (s, dir) => cleanedDocs(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("cleaned")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${TextAnalysis.langIdSqlDuck("cleaned")} AS lang_pred " +
+        s"FROM $cleanedRel c ORDER BY doc_id")),
+
+    // ---- text analysis: quality scoring -------------------------------------
+    QuerySpec("quality_score",
+      (s, dir) => TextAnalysis.quality(cleanedDocs(s, dir), "cleaned")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("stop_ratio"), col("distinct_ratio"), col("quality_score"))
+        .orderBy("doc_id"),
+      Some {
+        val cols = TextAnalysis.qualitySqlDuck("cleaned")
+          .map { case (n, e) => s"$e AS $n" }.mkString(", ")
+        s"SELECT doc_id, $cols FROM $cleanedRel c ORDER BY doc_id"
+      }),
+
+    // ---- text analysis: token counting --------------------------------------
+    QuerySpec("token_count",
+      (s, dir) => cleanedDocs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokens(col("cleaned")).cast("long").as("ws_tokens"),
+          TextAnalysis.bpeTokens(col("cleaned")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, len(string_split(cleaned, ' ')) AS ws_tokens, " +
+        s"${TextAnalysis.bpeTokensSqlDuck("cleaned")} AS bpe_tokens " +
+        s"FROM $cleanedRel c ORDER BY doc_id")),
+
+    // ---- text analysis: document fingerprint ---------------------------------
+    QuerySpec("fingerprint",
+      (s, dir) => cleanedDocs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("cleaned")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${TextAnalysis.fingerprintSqlDuck("cleaned")} AS fp " +
+        s"FROM $cleanedRel c ORDER BY doc_id")),
+
+    // ---- multimodal: binary payload metadata (Catalyst part) -----------------
+    QuerySpec("mm_meta",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("byte_len"),
+          substring(col("text"), 1, 8).as("header"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, octet_length(encode(text)) AS byte_len, " +
+        "substr(text, 1, 8) AS header FROM documents ORDER BY doc_id")),
+
+    // ---- multimodal: stubbed decode via mapPartitions — rows-only ------------
+    QuerySpec("mm_decode",
+      (s, dir) => Multimodal.decodeMeta(s,
+          Multimodal.withPayload(Tables.documents(s, dir)))
+        .toDF().orderBy("doc_id"),
+      None),
+
+    // ---- relational coverage: TPC-H-ish (bench headliners) -------------------
+    QuerySpec("q1_pricing",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2))
+            - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "count(*) AS count_order FROM lineitem " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    QuerySpec("q3_revenue_by_nation",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val cu = Tables.customer(s, dir)
+        val na = Tables.nation(s, dir)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cu, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(na), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2))
+            - dec(col("l_discount")))).cast("double").as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name")),
+
+    QuerySpec("q4_top_orders",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) w WHERE rn <= 3 ORDER BY o_custkey, rn")),
+
+    // ---- streaming twin (batch-equivalent windowed agg; the true
+    // Structured Streaming path is exercised in tests) --------------------------
+    QuerySpec("stream_hourly",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"))
+        .orderBy("ws", "event_type"),
+      Some("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, " +
+        "event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY ws, event_type"))
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    KgPipeline.triples(spark, Tables.docsDf(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.impl).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

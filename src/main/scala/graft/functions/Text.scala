@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text functions (P1-P3, P7 of SURVEY.md §2), each in three forms
+  * that must agree:
+  *
+  *  1. a Catalyst `Column` expression (whole-stage-codegen'd, the engine path),
+  *  2. a plain-Scala per-row twin (the "reference-faithful row-scalar
+  *     implementation" used as the P/R oracle, FIXTURES.md §2),
+  *  3. a DuckDB SQL fragment (the driver's oracle dialect).
+  *
+  * Reference semantics: `ner_tagger/sentsplitter.py:10-18` (cleanup),
+  * training notebook cell 3 (PUA strip, dateline strip),
+  * `cacheServer.py:34` (key hashing; uuid5 → standardized to sha256 per the
+  * BASELINE.json `sha256(content)` row invariant).
+  */
+object Text {
+
+  /** Explicit whitespace class shared by Java regex and RE2 so Spark and
+    * DuckDB agree byte-for-byte (`\s` differs between the two engines).
+    */
+  private val WS = "[ \\t\\n\\x0B\\f\\r]"
+
+  // ---- P1: cleanup (sentsplitter.py:10-18) -------------------------------
+  // Order is load-bearing and faithful to the reference: newline -> space,
+  // THEN collapse runs of whitespace, THEN soft-hyphen (U+00AD) -> space.
+  // (A soft hyphen followed by a space therefore leaves two spaces, exactly
+  // as the reference does.)
+
+  def cleanup(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "\\n", " "),
+        WS + "{2,}", " "),
+      "­", " ")
+
+  def cleanupScalar(s: String): String =
+    s.replace("\n", " ")
+      .replaceAll("[ \\t\\n\\x0B\\f\\r]{2,}", " ")
+      .replace("­", " ")
+
+  /** DuckDB fragment computing the same cleanup over column expr `col`. */
+  def cleanupSqlDuck(col: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($col, '\\n', ' ', 'g'), " +
+      s"'[ \\t\\n\\x0B\\f\\r]{2,}', ' ', 'g'), chr(173), ' ', 'g')"
+
+  // ---- P2: PUA codepoint strip (notebook cell 3, remove_pua_codes) -------
+
+  private val PUA_JAVA = "[\\uE000-\\uF8FF\\x{F0000}-\\x{FFFFD}\\x{100000}-\\x{10FFFD}]"
+  private val PUA_RE2 = "[\\x{E000}-\\x{F8FF}\\x{F0000}-\\x{FFFFD}\\x{100000}-\\x{10FFFD}]"
+
+  def puaStrip(c: Column): Column = regexp_replace(c, PUA_JAVA, "")
+
+  def puaStripScalar(s: String): String = s.replaceAll(PUA_JAVA, "")
+
+  def puaStripSqlDuck(col: String): String =
+    s"regexp_replace($col, '$PUA_RE2', '', 'g')"
+
+  // ---- P3: dateline strip (notebook cell 3, cleanup) ---------------------
+  // split('|', 1); drop the prefix if it is shorter than 26 chars.
+
+  def datelineStrip(c: Column): Column = {
+    val prefix = element_at(split(c, "\\|", 2), 1)
+    when(instr(c, "|") > 0 && length(prefix) < 26,
+      element_at(split(c, "\\|", 2), 2)).otherwise(c)
+  }
+
+  def datelineStripScalar(s: String): String = {
+    val i = s.indexOf('|')
+    if (i >= 0 && i < 26) s.substring(i + 1) else s
+  }
+
+  def datelineStripSqlDuck(col: String): String =
+    s"CASE WHEN strpos($col, '|') > 0 AND length(split_part($col, '|', 1)) < 26 " +
+      s"THEN substr($col, strpos($col, '|') + 1) ELSE $col END"
+
+  // ---- P7: content key hashing (cacheServer.py:34, uuid5 -> sha256) ------
+
+  def sha256Hex(c: Column): Column = sha2(c.cast("string"), 256)
+
+  def sha256HexScalar(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  def sha256SqlDuck(col: String): String = s"sha256(CAST($col AS VARCHAR))"
+
+  // ---- deterministic hex-prefix bucketing (O3 stratified split) ----------
+  // Engine-agnostic replacement for seeded sampling: the first two hex chars
+  // of sha256(key) give a uniform [0,256) bucket identical in Spark & DuckDB.
+
+  def hexBucket(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 1, 2), 16, 10).cast("int")
+
+  def hexBucketSqlDuck(col: String): String =
+    s"(strpos('0123456789abcdef', substr(sha256(CAST($col AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr(sha256(CAST($col AS VARCHAR)), 2, 1)) - 1)"
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Training-data deduplication suite over the `documents` corpus — exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All pure Catalyst (higher-order
+  * array functions + sha2), so every variant whole-stage-codegens and has an
+  * exact DuckDB oracle twin.
+  *
+  * Hash-function note: every hash is `sha256` over strings and every
+  * "minimum" is a string minimum over hex digests — deliberately
+  * engine-agnostic (Spark's `hash()`/`xxhash64` have no DuckDB equivalent).
+  * At 100 TB the sha256-per-shingle cost is the dominated term versus the
+  * shuffle it avoids: dedup keys are computed map-side, the only shuffles
+  * are the final groupBys/joins on short digest keys.
+  */
+object Dedup {
+
+  val shingleSize = 3
+  val numHashes = 8
+  val numBands = 4 // rows-per-band = numHashes / numBands = 2
+
+  /** tokens column from cleaned text. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** k-word shingle array (k = [[shingleSize]]) from a token array. */
+  def shingles(toks: Column): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (shingleSize - 1), lit(0))),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+
+  /** DuckDB twin of [[shingles]] over a list expr. */
+  def shinglesSqlDuck(toks: String): String =
+    s"list_transform(range(1, greatest(len($toks) - ${shingleSize - 1}, 0) + 1), " +
+      s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])"
+
+  /** The h-th MinHash of a shingle array: string-min over
+    * sha256("<h>:" ++ shingle).
+    */
+  def minhash(sh: Column, h: Int): Column =
+    array_min(transform(sh, s => sha2(concat(lit(s"$h:"), s), 256)))
+
+  def minhashSqlDuck(sh: String, h: Int): String =
+    s"list_min(list_transform($sh, s -> sha256('$h:' || s)))"
+
+  /** Full signature as one pipe-joined string column (stable compare). */
+  def signature(sh: Column): Column =
+    concat_ws("|", (0 until numHashes).map(minhash(sh, _)): _*)
+
+  def signatureSqlDuck(sh: String): String =
+    "concat_ws('|', " + (0 until numHashes).map(minhashSqlDuck(sh, _)).mkString(", ") + ")"
+
+  /** LSH band keys: band b hashes minhashes [b*r, b*r+r). Emitted as an
+    * array of "b:sha256(m_i||m_j)" strings; explode + self-join on the band
+    * key yields the candidate pairs. Bucket-join beats all-pairs at scale:
+    * the shuffle key is the band digest, so only near-duplicates collide.
+    */
+  def bandKeys(sh: Column): Column = {
+    val r = numHashes / numBands
+    array((0 until numBands).map { b =>
+      val parts = (0 until r).map(j => minhash(sh, b * r + j))
+      concat(lit(s"$b:"), sha2(concat_ws("|", parts: _*), 256))
+    }: _*)
+  }
+
+  def bandKeysSqlDuck(sh: String): Seq[String] = {
+    val r = numHashes / numBands
+    (0 until numBands).map { b =>
+      val parts = (0 until r).map(j => minhashSqlDuck(sh, b * r + j))
+      s"'$b:' || sha256(concat_ws('|', ${parts.mkString(", ")}))"
+    }
+  }
+
+  // ---- SimHash (16-bit, token-multiplicity weighted) ----------------------
+  // bit j of a token = parity of the (j+1)-th hex digit of sha256(token);
+  // document bit j = 1 iff Σ_tokens (2*bit−1) > 0. Engine-agnostic via the
+  // strpos-in-hex-alphabet trick shared with DuckDB.
+
+  val simhashBits = 16
+
+  def tokenBit(tok: Column, j: Int): Column =
+    conv(substring(sha2(tok, 256), j + 1, 1), 16, 10).cast("int") % 2
+
+  /** SimHash over an exploded (docKey, token) relation: groupBy docKey with
+    * 16 signed sums, then pack bits. Returns (keyCols..., simhash:long).
+    */
+  def simhash(tokensExploded: DataFrame, keyCols: Seq[String],
+      tokenCol: String = "token"): DataFrame = {
+    val sums = (0 until simhashBits).map { j =>
+      sum(tokenBit(col(tokenCol), j) * 2 - 1).as(s"s$j")
+    }
+    val packed = (0 until simhashBits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tokensExploded.groupBy(keyCols.map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+      .select(keyCols.map(col) :+ packed.as("simhash"): _*)
+  }
+
+  def simhashSqlDuck(keyCols: Seq[String], tokenExpr: String, from: String): String = {
+    val sums = (0 until simhashBits).map { j =>
+      s"sum(((strpos('0123456789abcdef', substr(sha256($tokenExpr), ${j + 1}, 1)) - 1) % 2) * 2 - 1) AS s$j"
+    }
+    val packed = (0 until simhashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"(SELECT ${keyCols.mkString(", ")}, CAST($packed AS BIGINT) AS simhash FROM " +
+      s"(SELECT ${keyCols.mkString(", ")}, ${sums.mkString(", ")} FROM $from " +
+      s"GROUP BY ${keyCols.mkString(", ")}) g)"
+  }
+
+  /** Jaccard similarity of two string-array columns (distinct-set). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+}

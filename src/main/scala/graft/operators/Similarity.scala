@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`vec_id:long, embedding:array<float>, label:int`, 64-dim).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k by broadcast cross join — the
+  *    correctness baseline. The probe set is broadcast; the corpus streams.
+  *    All arithmetic is an ordered left-fold over doubles so the DuckDB
+  *    oracle (list_reduce) is bit-identical.
+  *  - [[lshTopK]]: random-hyperplane LSH — the 100 TB path. 16 seeded
+  *    hyperplanes → 16-bit bucket signature computed map-side; candidates
+  *    are ranked within (multi-probe) buckets, turning an O(N·Q) cross join
+  *    into a bucket-equi-join whose shuffle key is the signature.
+  */
+object Similarity {
+
+  /** Ordered-fold dot product of two double-array columns (deterministic
+    * IEEE order; matches DuckDB `list_reduce`).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def dotSqlDuck(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  def cosineSqlDuck(a: String, b: String, dim: Int = 64): String =
+    s"(${dotSqlDuck(a, b, dim)} / (sqrt(${dotSqlDuck(a, a, dim)}) * sqrt(${dotSqlDuck(b, b, dim)})))"
+
+  /** Exact top-k neighbors for each probe row. Probes must be small (they
+    * are broadcast). Returns (qid, nid, cos, rank).
+    */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = probes.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qe"))
+    val c = corpus.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("ce"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
+
+  // ---- LSH path -----------------------------------------------------------
+
+  val lshBits = 16
+  val dim = 64
+
+  /** Deterministic seeded hyperplanes (no wall-clock, no external data). */
+  def hyperplanes(seed: Long = 42L, bits: Int = lshBits, d: Int = dim): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(d)(rnd.nextGaussian()))
+  }
+
+  /** Map-side 16-bit signature column: bit b = sign(dot(hp_b, v)). Pure
+    * Catalyst — hyperplane components are folded in as literals, so the
+    * signature computes inside whole-stage codegen with zero shuffle.
+    */
+  def signature(v: Column, hps: Array[Array[Double]]): Column =
+    hps.zipWithIndex.map { case (hp, b) =>
+      val d = hp.zipWithIndex.map { case (w, i) =>
+        element_at(v, i + 1) * lit(w)
+      }.reduce(_ + _)
+      when(d > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via signature-bucket join with Hamming-adjacent multi-probe
+    * (probe its own bucket plus the `probes` single-bit-flipped buckets).
+    * Recall measured against [[bruteForceTopK]] in tests.
+    */
+  def lshTopK(probesDf: DataFrame, corpus: DataFrame, k: Int,
+      probes: Int = lshBits, seed: Long = 42L): DataFrame = {
+    val hps = hyperplanes(seed)
+    val c = corpus.select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("ce"))
+      .withColumn("sig", signature(col("ce"), hps))
+    val qBase = probesDf.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("sig0", signature(col("qe"), hps))
+    // multi-probe: own bucket + single-bit flips
+    val flips = array((lit(0L) +: (0 until probes).map(b => lit(1L << b))): _*)
+    val q = qBase.withColumn("flip", explode(flips))
+      .withColumn("sig", bitwise_xor_long(col("sig0"), col("flip")))
+      .drop("sig0", "flip")
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
+
+  private def bitwise_xor_long(a: Column, b: Column): Column =
+    a.bitwiseXOR(b)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** J1 — the batch restatement of the reference's memoization cache
+  * (`cacheServer.py:62-111`, orchestrated at `ner_tagger/ner.py` retrieve/
+  * store clients). A runtime KV service becomes a dedup-then-join pattern:
+  *
+  *  1. key every sentence with `sha256(sentence)` (the reference used
+  *     `uuid5(NAMESPACE_X500, sentence)`, `cacheServer.py:34`; sha256 is the
+  *     BASELINE.json row invariant),
+  *  2. `dropDuplicates` on the key — cross-row common-subexpression
+  *     elimination; a sentence occurring a billion times is tagged once,
+  *     which is also the hot-key skew defense,
+  *  3. left-anti join against the persisted `tag_cache` table → only misses
+  *     reach the expensive tagger,
+  *  4. tag misses, append them to the cache (S3: append-mode parquet,
+  *     the `cacheServer.py:75-83` ndjson append twin),
+  *  5. equi-join hits ∪ fresh results back to the sentence relation.
+  *
+  * Correctness contract (tested): cache-on ≡ cache-off results.
+  */
+object TagCache {
+
+  val keyCol = "k"
+
+  /** Attach the cache key. */
+  def keyed(sentences: DataFrame, sentenceCol: String = "sentence"): DataFrame =
+    sentences.withColumn(keyCol, Text.sha256Hex(col(sentenceCol)))
+
+  /** Load the persisted cache (k, sentence, entities, ingest_ts); empty
+    * relation when absent.
+    */
+  def readCache(spark: SparkSession, cacheDir: String): DataFrame = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(cacheDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      spark.read.parquet(cacheDir)
+    else
+      spark.createDataset(Seq.empty[graft.model.CacheRow]).toDF()
+  }
+
+  /** Tag the distinct sentences of `sentences` through the cache.
+    *
+    * @param tagger computes `entities` for a (k, sentence) relation — the
+    *               expensive stage run only on cache misses.
+    * @return the input relation with `entities` attached per row.
+    */
+  def tagThroughCache(spark: SparkSession, sentences: DataFrame,
+      cacheDir: String, tagger: DataFrame => DataFrame,
+      ingestTs: Long = 0L): DataFrame = {
+    val withKey = keyed(sentences)
+    val distinctSents = withKey.select(keyCol, "sentence").dropDuplicates(keyCol)
+    val cache = readCache(spark, cacheDir).select(keyCol, "sentence", "entities")
+
+    val misses = distinctSents.join(cache.select(keyCol), Seq(keyCol), "left_anti")
+    val fresh = tagger(misses).select(keyCol, "sentence", "entities")
+
+    // S3: append-mode write-back (fire-and-forget in the reference,
+    // ner.py cache store; a committed append here).
+    fresh.withColumn("ingest_ts", lit(ingestTs))
+      .write.mode("append").parquet(cacheDir)
+
+    val results = cache.select(keyCol, "entities")
+      .unionByName(fresh.select(keyCol, "entities"))
+    withKey.join(results, Seq(keyCol), "left")
+  }
+
+  /** O2 — retention: keep the most recent `keep` entries (reference keeps
+    * the last 3M ndjson lines weekly, `ner-clean-cache.sh:9`). Ties broken
+    * by key for determinism. A global Top-K: fine for a metadata-sized
+    * cache table; for a 100 TB cache, switch the window to
+    * `partitionBy(prefix(k))` and keep K/prefixes per partition — the test
+    * pins both shapes.
+    */
+  def retention(cache: DataFrame, keep: Long): DataFrame = {
+    val w = Window.orderBy(col("ingest_ts").desc, col(keyCol))
+    cache.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keep).drop("rn")
+  }
+
+  /** Partitioned retention — the scale path: keep `keepPerBucket` per key
+    * bucket; no single-reducer global sort.
+    */
+  def retentionPartitioned(cache: DataFrame, keepPerBucket: Long,
+      buckets: Int = 256): DataFrame = {
+    val w = Window.partitionBy(substring(col(keyCol), 1, 2))
+      .orderBy(col("ingest_ts").desc, col(keyCol))
+    cache.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keepPerBucket).drop("rn")
+  }
+}

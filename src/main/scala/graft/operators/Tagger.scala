@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.model.{AliasEntry, Entity}
+
+/** G4 — the deterministic tagger stage that replaces the reference's flair
+  * model call (`modelServer.py:65-79`, default model at `modelServer.py:249-251`)
+  * per the north-star: (a) regex/token-pattern NER over the content column,
+  * (b) gazetteer/dictionary mention detection via a broadcast alias
+  * dictionary. Both emit the same `entities` struct
+  * `(text, label, confidence, begin, end)` the reference's downstream
+  * middleware consumes (`middleware.py:45-69`), so every downstream operator
+  * is semantics-identical.
+  *
+  * The pattern set is the single source of truth: it generates the Spark
+  * plan, the DuckDB oracle SQL, and the plain-Scala reference-scalar tagger
+  * (the P/R fixture of FIXTURES.md §2).
+  */
+object Tagger {
+
+  /** One NER pattern: label, Java/RE2-compatible regex (kept in the shared
+    * subset of both dialects), and the constant confidence the deterministic
+    * tagger assigns. The reference's default threshold is 0.95
+    * (`nerapi.py:85-87`); LOW_CONF sits below it to exercise P4.
+    */
+  final case class Pattern(label: String, regex: String, confidence: Double)
+
+  /** Patterns are chosen to fire on the driver corpus vocabulary (30 words,
+    * see TESTDATA.md) while mirroring the reference label set observed in
+    * `README.md:74-101` (PERSON / GPE / ORG / WORK_OF_ART). Terms are
+    * non-overlapping across alternatives so Java-regex and RE2 leftmost
+    * semantics agree.
+    */
+  val patterns: Seq[Pattern] = Seq(
+    Pattern("PERSON", "\\bcustomer\\b", 0.99),
+    Pattern("ORG", "\\bspark\\b|\\bhash join\\b|\\bmerge\\b", 0.98),
+    Pattern("GPE", "\\bstream\\b|\\bvector\\b", 0.97),
+    Pattern("WORK_OF_ART", "\\bthe window\\b|\\btable scan\\b|\\bwindow\\b", 0.96),
+    Pattern("LOW_CONF", "\\bdup\\b", 0.90)
+  )
+
+  /** Default confidence threshold (reference `--nerthreshold`,
+    * `nerapi.py:85-87`; applied with `>=` at `middleware.py:62`).
+    */
+  val threshold: Double = 0.95
+
+  /** Alias dictionary for entity linking (J2). Broadcast side; ~tiny.
+    * Includes an ambiguous alias ("merge" -> E8/E9) to exercise
+    * context-similarity scoring + row_number pick (FIXTURES.md §3).
+    */
+  val aliasDict: Seq[AliasEntry] = Seq(
+    AliasEntry("customer", "E01", "PERSON", 0.90, "en"),
+    AliasEntry("spark", "E02", "ORG", 0.95, "en"),
+    AliasEntry("hash join", "E03", "ORG", 0.85, "en"),
+    AliasEntry("merge", "E04", "ORG", 0.60, "en"),
+    AliasEntry("merge", "E05", "ORG", 0.55, "de"),
+    AliasEntry("stream", "E06", "GPE", 0.80, "fr"),
+    AliasEntry("vector", "E07", "GPE", 0.75, "es"),
+    AliasEntry("table scan", "E08", "WORK_OF_ART", 0.88, "en"),
+    AliasEntry("window", "E09", "WORK_OF_ART", 0.70, "de"),
+    AliasEntry("the window", "E09", "WORK_OF_ART", 0.65, "en")
+  )
+
+  /** Language-match bonus added to the alias prior when the document's
+    * `lang` equals the alias's preferred language (context-similarity
+    * scoring, J2).
+    */
+  val langBonus: Double = 0.2
+
+  // ---- Spark-side tagging (pure Catalyst, whole-stage codegen) -----------
+
+  /** Tag a column: returns one row per (label, mention occurrence), no span
+    * info — the Catalyst-only fast path (`regexp_extract_all`, codegen'd).
+    * Input df must carry `textCol`; output adds (label, mention, confidence).
+    */
+  def tagMentions(df: DataFrame, textCol: String): DataFrame = {
+    val tagged = patterns.map { p =>
+      df.select(
+        col("*"),
+        lit(p.label).as("label"),
+        lit(p.confidence).as("confidence"),
+        explode(regexp_extract_all(col(textCol), lit(p.regex), lit(0))).as("mention"))
+    }
+    tagged.reduce(_ unionAll _).drop(textCol)
+  }
+
+  /** Spark-SQL (DuckDB-shared) fragment tagging cleaned column expr. Emits a
+    * UNION ALL over the pattern set; used to build oracle SQL from the same
+    * constants. `from` is the relation providing (keyCols..., textExpr).
+    */
+  def tagSqlDuck(keyCols: Seq[String], textExpr: String, from: String): String =
+    patterns.map { p =>
+      val pat = p.regex // SQL single-quoted strings keep backslashes literal
+      s"SELECT ${keyCols.mkString(", ")}, '${p.label}' AS label, " +
+        s"CAST(${p.confidence} AS DOUBLE) AS confidence, u.m AS mention " +
+        s"FROM $from, unnest(regexp_extract_all($textExpr, '$pat')) u(m)"
+    }.mkString("(", " UNION ALL ", ")")
+
+  // ---- Reference-scalar tagger (row-by-row; P/R oracle, FIXTURES.md §2) --
+
+  /** Per-row tagger with spans: finds every pattern occurrence in the
+    * (already cleaned) text. This is the "reference tags" semantics the
+    * north rule measures P/R against — same patterns, executed imperatively
+    * outside Spark.
+    */
+  def tagScalar(cleaned: String): Seq[Entity] =
+    patterns.flatMap { p =>
+      val m = java.util.regex.Pattern.compile(p.regex).matcher(cleaned)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Entity]
+      while (m.find()) {
+        out += Entity(m.group(), p.label, p.confidence, m.start(), m.end())
+      }
+      out.toSeq
+    }
+
+  // ---- Span-true distributed tagger (UDF; the one allowed UDF class) -----
+
+  /** Entity extraction with character spans as a UDF over the sentence
+    * column — the tokenizer-class UDF the input_hint allows. Used by the
+    * full pipeline where span info must survive (FIXTURES.md §2 schema);
+    * the Catalyst `tagMentions` path is preferred when spans are not needed.
+    */
+  def tagWithSpansUdf(spark: SparkSession) = {
+    udf((text: String) => if (text == null) Seq.empty[Entity] else tagScalar(text))
+  }
+
+  /** Broadcast alias dictionary as a DataFrame (J2 build side). */
+  def aliasDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(aliasDict).toDF()
+  }
+
+  /** DuckDB VALUES literal for the alias dictionary (oracle twin of
+    * [[aliasDf]]).
+    */
+  def aliasSqlDuck: String =
+    aliasDict.map { a =>
+      s"('${a.alias_norm}', '${a.entity_id}', '${a.label}', " +
+        s"CAST(${a.prior} AS DOUBLE), '${a.pref_lang}')"
+    }.mkString(
+      "(SELECT * FROM (VALUES ",
+      ", ",
+      ") AS t(alias_norm, entity_id, label, prior, pref_lang))")
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators._
+
+/** The end-to-end KG-construction pipeline (north rule): ingest the Doc
+  * table → cleanup → sentence split → dedup/cache → deterministic tagging →
+  * confidence threshold → entity linking → canonicalization → (subj, pred,
+  * obj) triple materialization partitioned by (repo, lang).
+  *
+  * Spark restatement of the reference's `/api/v1/ner` lifecycle
+  * (SURVEY.md §3.1): the four zmq process boundaries become at most three
+  * shuffles — sentence-key dedup, link window, final group-by — and two of
+  * them collapse when the gazetteer side is broadcast.
+  */
+object KgPipeline {
+
+  /** Stage 1-2: cleanup + sentence explode (order preserved via sent_idx). */
+  def sentences(docs: DataFrame): DataFrame =
+    Splitter.explodeSentences(
+      docs.withColumn("content", Text.cleanup(col("content"))))
+
+  /** Mention tagging over sentences, Catalyst-only (no spans). */
+  def sentenceMentions(docs: DataFrame): DataFrame =
+    Tagger.tagMentions(sentences(docs), "sentence")
+
+  /** Doc-level mention tagging — skips the sentence split for pipelines
+    * that do not need sentence provenance (the chunk granularity vanishes
+    * in the final group-by anyway, reference `ner.py:196-203` / A4).
+    */
+  def docMentions(docs: DataFrame): DataFrame =
+    Tagger.tagMentions(
+      docs.withColumn("cleaned", Text.cleanup(col("content"))).drop("content"),
+      "cleaned")
+
+  /** Threshold (P4) + linking (J2) over a mention relation carrying
+    * (repo, path, commit, lang, label, mention, confidence).
+    */
+  def links(spark: SparkSession, mentions: DataFrame): DataFrame =
+    Linker.link(spark,
+      mentions.filter(col("confidence") >= Tagger.threshold),
+      Seq("repo", "path", "commit"))
+
+  /** Canonicalization (J3): connected components over the co-occurrence
+    * graph of linked entities, returning a (entity_id, canon_id) map.
+    */
+  def canonMap(spark: SparkSession, links: DataFrame,
+      keyCols: Seq[String] = Seq("repo", "path")): DataFrame = {
+    val perDoc = links.select((keyCols :+ "entity_id").map(col): _*).distinct()
+    val a = perDoc.withColumnRenamed("entity_id", "src")
+    val b = perDoc.withColumnRenamed("entity_id", "dst")
+    val edges = a.join(b, keyCols)
+      .filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+    ConnectedComponents.run(spark, edges)
+      .select(col("id").as("entity_id"), col("component").as("canon_id"))
+  }
+
+  /** Final triple relation:
+    * subj = repo/path@commit, pred = mentions:<label>, obj = entity id
+    * (canonical when `canonicalize`), with (repo, lang) provenance.
+    */
+  def triples(spark: SparkSession, docs: DataFrame,
+      canonicalize: Boolean = false, sentenceLevel: Boolean = false): DataFrame = {
+    val mentions = if (sentenceLevel) sentenceMentions(docs) else docMentions(docs)
+    val linked = links(spark, mentions)
+    val resolved =
+      if (canonicalize) {
+        val cm = canonMap(spark, linked)
+        linked.join(broadcast(cm), Seq("entity_id"), "left")
+          .withColumn("obj", coalesce(col("canon_id"), col("entity_id")))
+      } else linked.withColumn("obj", col("entity_id"))
+    resolved.select(
+        concat_ws("@", concat_ws("/", col("repo"), col("path")), col("commit"))
+          .as("subj"),
+        concat(lit("mentions:"), col("label")).as("pred"),
+        col("obj"),
+        col("repo"), col("lang"))
+      .distinct()
+  }
+
+  /** S4 sink: write triples partitioned by (repo, lang) with a manifest. */
+  def materialize(spark: SparkSession, docs: DataFrame, warehouse: String,
+      canonicalize: Boolean = true): Unit = {
+    val t = triples(spark, docs, canonicalize)
+    Manifest.writeStage(spark, t, warehouse, "triples", Seq("repo", "lang"))
+  }
+}

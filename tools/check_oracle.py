@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify,
+then run each oracle SQL in DuckDB over the same parquet tables and
+compare (column names sorted, rows sorted, values normalized)."""
+import json, math, sys, glob, os
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+fails, passes, skips = [], 0, 0
+for name in sorted(oracle):
+    res_dir = f"{out_dir}/{name}"
+    if not os.path.isdir(res_dir):
+        fails.append((name, "no spark output"))
+        continue
+    try:
+        spark_rows = con.execute(
+            f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
+        spark_cols = [d[0] for d in con.description]
+        duck = con.execute(oracle[name])
+        duck_cols = [d[0] for d in duck.description]
+        duck_rows = duck.fetchall()
+    except Exception as e:
+        fails.append((name, f"exec error: {e}"))
+        continue
+    if sorted(spark_cols) != sorted(duck_cols):
+        fails.append((name, f"schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"))
+        continue
+    # reorder columns by sorted name, normalize, sort rows
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s = sorted(tuple(norm(r[i]) for i in s_idx) for r in spark_rows)
+    d = sorted(tuple(norm(r[i]) for i in d_idx) for r in duck_rows)
+    if len(s) != len(d):
+        fails.append((name, f"rowcount: spark={len(s)} duck={len(d)}"))
+        continue
+    if s != d:
+        diff = next(i for i in range(len(s)) if s[i] != d[i])
+        fails.append((name, f"values differ at row {diff}:\n  spark={s[diff]}\n  duck ={d[diff]}"))
+        continue
+    passes += 1
+    print(f"PASS {name} ({len(s)} rows)")
+
+# rows-only checks for non-oracle queries
+for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(res_dir.rstrip("/"))
+    if name in oracle:
+        continue
+    n = con.execute(f"SELECT count(*) FROM '{res_dir}/*.parquet'").fetchone()[0]
+    status = "ROWS" if n > 0 else "EMPTY!"
+    print(f"{status} {name} ({n} rows)")
+    skips += 1
+
+print(f"\n{passes} pass, {len(fails)} fail, {skips} rows-only")
+for name, msg in fails:
+    print(f"FAIL {name}: {msg}")
+sys.exit(1 if fails else 0)
