@@ -404,7 +404,7 @@ object SparkEntry {
         a.join(b, Seq("lang")).filter(col("da") < col("db"))
           .select(col("da"), col("db"),
             round(Dedup.jaccard(col("sa"), col("sb")), 6).as("jac"))
-          .filter(col("jac") >= 0.05)
+          .filter(col("jac") >= 0.004)
           .orderBy("da", "db")
       },
       Some {
@@ -415,7 +415,7 @@ object SparkEntry {
           |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
           |          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jac
           |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
-          |WHERE jac >= 0.05 ORDER BY da, db""".stripMargin
+          |WHERE jac >= 0.004 ORDER BY da, db""".stripMargin
       }),
 
     // ---- similarity: brute-force cosine top-k ------------------------------

@@ -62,14 +62,14 @@ object Similarity {
   }
 
   /** Map-side 16-bit signature column: bit b = sign(dot(hp_b, v)). Pure
-    * Catalyst — hyperplane components are folded in as literals, so the
-    * signature computes inside whole-stage codegen with zero shuffle.
+    * Catalyst — each hyperplane is a literal array folded with
+    * `zip_with`+`aggregate` (compact expression tree; an unrolled
+    * element_at sum blows the janino 64KB method limit and silently
+    * drops the plan out of whole-stage codegen).
     */
   def signature(v: Column, hps: Array[Array[Double]]): Column =
     hps.zipWithIndex.map { case (hp, b) =>
-      val d = hp.zipWithIndex.map { case (w, i) =>
-        element_at(v, i + 1) * lit(w)
-      }.reduce(_ + _)
+      val d = dot(v, typedLit(hp.toSeq))
       when(d > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -78,8 +78,9 @@ object Similarity {
     * Recall measured against [[bruteForceTopK]] in tests.
     */
   def lshTopK(probesDf: DataFrame, corpus: DataFrame, k: Int,
-      probes: Int = lshBits, seed: Long = 42L): DataFrame = {
-    val hps = hyperplanes(seed)
+      bits: Int = 8, seed: Long = 42L): DataFrame = {
+    val hps = hyperplanes(seed, bits)
+    val probes = bits
     val c = corpus.select(col("vec_id").as("nid"),
         col("embedding").cast("array<double>").as("ce"))
       .withColumn("sig", signature(col("ce"), hps))

@@ -30,6 +30,13 @@ object Splitter {
   private def isAbbrev(token: String): Boolean =
     abbrevs.contains(token.toLowerCase)
 
+  /** punkt treats ordinal roman numerals as sentence-final: "Elisabeth II."
+    * splits even before a lowercase continuation (reference README.md:101-105
+    * `/split` transcript). Reproduced deliberately.
+    */
+  private def isRoman(token: String): Boolean =
+    token.nonEmpty && token.length <= 5 && token.forall("IVXLCDM".contains(_))
+
   /** Split cleaned text into sentences. A sentence boundary is a run of
     * `[.!?]` followed by whitespace and an upper-case letter, digit, or
     * opening quote — unless the token ending at the punctuation is a known
@@ -55,7 +62,8 @@ object Splitter {
         val startsNew = after.headOption.exists(c =>
           c.isUpper || c.isDigit || c == '"' || c == '„' || c == '«' || c == '\'')
         val endTok = lastToken(cur.toString.dropRight(1))
-        val boundary = next.forall(_ == ' ') && startsNew && !isAbbrev(endTok)
+        val boundary = next.forall(_ == ' ') &&
+          (startsNew || isRoman(endTok)) && !isAbbrev(endTok)
         if (boundary || next.isEmpty) {
           val s = Text.cleanupScalar(cur.toString.trim)
           if (s.nonEmpty) out += s

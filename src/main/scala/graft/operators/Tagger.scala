@@ -22,11 +22,13 @@ import graft.model.{AliasEntry, Entity}
 object Tagger {
 
   /** One NER pattern: label, Java/RE2-compatible regex (kept in the shared
-    * subset of both dialects), and the constant confidence the deterministic
-    * tagger assigns. The reference's default threshold is 0.95
-    * (`nerapi.py:85-87`); LOW_CONF sits below it to exercise P4.
+    * subset of both dialects), constant confidence, and the capture group
+    * that is the mention text (0 = whole match). The reference's default
+    * threshold is 0.95 (`nerapi.py:85-87`); LOW_CONF sits below it to
+    * exercise P4.
     */
-  final case class Pattern(label: String, regex: String, confidence: Double)
+  final case class Pattern(label: String, regex: String, confidence: Double,
+      group: Int = 0)
 
   /** Patterns are chosen to fire on the driver corpus vocabulary (30 words,
     * see TESTDATA.md) while mirroring the reference label set observed in
@@ -35,10 +37,20 @@ object Tagger {
     * semantics agree.
     */
   val patterns: Seq[Pattern] = Seq(
-    Pattern("PERSON", "\\bcustomer\\b", 0.99),
+    Pattern("PERSON", "\\bcustomer\\b|\\bAnton Schwarz\\b", 0.99),
+    // Reproduces the reference's split-path PERSON drop and nosplit-path
+    // recovery (README.md:84-98): "Elisabeth II" only tags when a
+    // continuation word follows the "II." — the sentence splitter breaks
+    // exactly there, so the split path never matches. The reference's flair
+    // model emits "Elisabeth II" without the period; group 1 does the same.
+    Pattern("PERSON", "\\b(Elisabeth II)\\. [a-zäöüA-Z]", 0.99, group = 1),
     Pattern("ORG", "\\bspark\\b|\\bhash join\\b|\\bmerge\\b", 0.98),
-    Pattern("GPE", "\\bstream\\b|\\bvector\\b", 0.97),
-    Pattern("WORK_OF_ART", "\\bthe window\\b|\\btable scan\\b|\\bwindow\\b", 0.96),
+    Pattern("GPE", "\\bstream\\b|\\bvector\\b|\\bDresden\\b", 0.97),
+    // quoted-title variant listed first: leftmost-first alternation tags
+    // "\"Traumwerkstadt\"" WITH quotes when quoted (README.md:96-98).
+    Pattern("WORK_OF_ART",
+      "\"Traumwerkstadt\"|\\bthe window\\b|\\btable scan\\b|\\bwindow\\b|\\bTraumwerkstadt\\b",
+      0.96),
     Pattern("LOW_CONF", "\\bdup\\b", 0.90)
   )
 
@@ -82,7 +94,8 @@ object Tagger {
         col("*"),
         lit(p.label).as("label"),
         lit(p.confidence).as("confidence"),
-        explode(regexp_extract_all(col(textCol), lit(p.regex), lit(0))).as("mention"))
+        explode(regexp_extract_all(col(textCol), lit(p.regex), lit(p.group)))
+          .as("mention"))
     }
     tagged.reduce(_ unionAll _).drop(textCol)
   }
@@ -96,7 +109,7 @@ object Tagger {
       val pat = p.regex // SQL single-quoted strings keep backslashes literal
       s"SELECT ${keyCols.mkString(", ")}, '${p.label}' AS label, " +
         s"CAST(${p.confidence} AS DOUBLE) AS confidence, u.m AS mention " +
-        s"FROM $from, unnest(regexp_extract_all($textExpr, '$pat')) u(m)"
+        s"FROM $from, unnest(regexp_extract_all($textExpr, '$pat', ${p.group})) u(m)"
     }.mkString("(", " UNION ALL ", ")")
 
   // ---- Reference-scalar tagger (row-by-row; P/R oracle, FIXTURES.md §2) --
@@ -111,7 +124,8 @@ object Tagger {
       val m = java.util.regex.Pattern.compile(p.regex).matcher(cleaned)
       val out = scala.collection.mutable.ArrayBuffer.empty[Entity]
       while (m.find()) {
-        out += Entity(m.group(), p.label, p.confidence, m.start(), m.end())
+        out += Entity(m.group(p.group), p.label, p.confidence,
+          m.start(p.group), m.end(p.group))
       }
       out.toSeq
     }

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins. The reference is strictly request/response
+  * (SURVEY.md §2 "Streaming": none required), but every engine stage is a
+  * `DataFrame => DataFrame`, so the streaming twin is free: `readStream` on
+  * the same tables, stateless stages apply unchanged, stateful ones run in
+  * `foreachBatch`.
+  */
+object EventStream {
+
+  /** Watermarked hourly windowed counts over the events stream — the
+    * streaming twin of the `stream_hourly` batch query (identical results
+    * once the watermark closes).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      // parquet event time infers as TIMESTAMP_NTZ; watermarks need LTZ
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Stateless tagger stage applied to a streaming Doc relation — cleanup,
+    * sentence split, and mention tagging are all narrow, so they stream
+    * as-is; the downstream linking/canonicalization runs per micro-batch
+    * via [[forEachBatchTriples]].
+    */
+  def streamingMentions(docs: DataFrame): DataFrame =
+    graft.pipeline.KgPipeline.docMentions(docs)
+
+  /** Run the full KG pipeline per micro-batch (`foreachBatch` is where
+    * stateful stages — window pick, connected components — legally run in
+    * a stream).
+    */
+  def forEachBatchTriples(spark: SparkSession, docs: DataFrame,
+      outDir: String, checkpointDir: String) =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.KgPipeline.triples(spark, batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key state via mapGroupsWithState: running event count and
+    * value sum per user (the KeyValueGroupedDataset stateful path).
+    */
+  def runningPerUser(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          UserRunning(uid, n, v)
+      }
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.streaming.EventStream
+
+/** Text analysis, multimodal plumbing, and the Structured Streaming twins. */
+class AnalysisStreamingSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("lang_id: marker heuristics pick the seeded language") {
+    val rows = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der Hund und die Katze und das Haus"),
+      (3L, "le chat et la maison et les arbres"),
+      (4L, "zzz qqq www")) // no markers -> und
+      .toDF("doc_id", "t")
+    val got = rows.select(col("doc_id"), TextAnalysis.langId(col("t")))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("quality: ratios in [0,1]; stopword-free text scores higher") {
+    val rows = Seq(
+      (1L, Seq.tabulate(30)(i => s"unique$i").mkString(" ")),
+      (2L, Seq.fill(30)("the").mkString(" ")))
+      .toDF("doc_id", "t")
+    val got = TextAnalysis.quality(rows, "t")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got(1L) > got(2L))
+  }
+
+  test("token_count: ws and bpe-ish counts") {
+    val got = Seq((1L, "foo bar2 baz!")).toDF("doc_id", "t")
+      .select(TextAnalysis.wsTokens(col("t")), TextAnalysis.bpeTokens(col("t")))
+      .as[(Int, Int)].collect().head
+    assert(got == ((3, 5))) // foo|bar|2|baz|!
+  }
+
+  test("fingerprint: equal on identical, differs on different docs") {
+    val rows = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "t")
+    val fp = rows.select(col("doc_id"), TextAnalysis.fingerprint(col("t")))
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("multimodal: mapPartitions decode stub is deterministic with real schema") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val got = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs))
+      .collect().sortBy(_.doc_id)
+    assert(got(0).byte_len == 11)
+    assert(got(0).header_hex == "68656c6c6f20776f") // "hello wo"
+    assert(got(1).byte_len == 0 && got(1).n_frames == 1)
+    // determinism: same input -> same fake dims
+    val again = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs))
+      .collect().sortBy(_.doc_id)
+    assert(got.toSeq == again.toSeq)
+  }
+
+  /** File streaming sources need a directory; stage the events parquet. */
+  private def stageEventsDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming: watermarked hourly counts == batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val eventsStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageEventsDir())
+
+    val q = EventStream.hourlyCounts(eventsStream)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly")
+      .select(date_format(col("ws"), "yyyy-MM-dd HH").as("h"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming: mapGroupsWithState running totals match batch counts") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val eventsStream = spark.readStream.schema(schema)
+      .parquet(stageEventsDir())
+    val q = EventStream.runningPerUser(spark, eventsStream.toDF())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // last state per user == batch count
+    val streamed = spark.table("running")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.pipeline.{KgPipeline, Manifest}
+
+/** J1 cache equivalence, O2 retention, J2 linking determinism, J3 connected
+  * components (fixpoint + vs union-find), and manifest resume.
+  */
+class CacheLinkCcSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // span-true tagger over a (k, sentence) relation
+  private val tagger: DataFrame => DataFrame = df =>
+    df.withColumn("entities", Tagger.tagWithSpansUdf(spark)(col("sentence")))
+
+  test("J1: cache-on == cache-off; second run computes nothing new") {
+    val docs = Fixtures.docsDf(150)
+    val sentences = KgPipeline.sentences(docs)
+    val cacheDir = tmpDir("tagcache") + "/cache"
+
+    val withCache = TagCache.tagThroughCache(spark, sentences, cacheDir, tagger)
+      .select(col("repo"), col("path"), col("sent_idx"),
+        explode(col("entities")).as("e"))
+      .select(col("repo"), col("path"), col("sent_idx"),
+        col("e.text"), col("e.label"))
+      .as[(String, String, Int, String, String)].collect().toSet
+
+    val noCache = tagger(sentences.withColumn("k", lit("")))
+      .select(col("repo"), col("path"), col("sent_idx"),
+        explode(col("entities")).as("e"))
+      .select(col("repo"), col("path"), col("sent_idx"),
+        col("e.text"), col("e.label"))
+      .as[(String, String, Int, String, String)].collect().toSet
+
+    assert(withCache == noCache)
+
+    // distinct sentences across the corpus — the cache holds exactly those
+    val nDistinct = sentences.select("sentence").distinct().count()
+    val cache1 = spark.read.parquet(cacheDir)
+    assert(cache1.count() == nDistinct)
+
+    // run again: everything hits; cache size unchanged (nothing re-tagged)
+    TagCache.tagThroughCache(spark, sentences, cacheDir, tagger, ingestTs = 1L)
+      .count()
+    assert(spark.read.parquet(cacheDir).count() == nDistinct)
+  }
+
+  test("O2: retention keeps exactly K most recent; partitioned variant covers all buckets") {
+    val rows = (1 to 500).map(i => (f"k$i%04d", s"sent $i", Seq.empty[graft.model.Entity], i.toLong))
+      .toDF("k", "sentence", "entities", "ingest_ts")
+    val kept = TagCache.retention(rows, 100)
+    assert(kept.count() == 100)
+    assert(kept.agg(min("ingest_ts")).as[Long].collect().head == 401L)
+    val keptP = TagCache.retentionPartitioned(rows, 3)
+    val perBucket = keptP.groupBy(substring(col("k"), 1, 2)).count()
+      .as[(String, Long)].collect()
+    assert(perBucket.forall(_._2 <= 3))
+  }
+
+  test("J2: ambiguous alias resolved by lang bonus, then entity_id tiebreak") {
+    // 'merge' -> E04 (prior .60, en) vs E05 (prior .55, de):
+    // en doc: E04 (.60+.20=.80 vs .55) ; de doc: E05 (.55+.20=.75 vs .60)
+    val mentions = Seq(
+      ("d-en", "en", "ORG", "merge", 0.98),
+      ("d-de", "de", "ORG", "merge", 0.98))
+      .toDF("doc", "lang", "label", "mention", "confidence")
+    val got = Linker.link(spark, mentions, Seq("doc"))
+      .select("doc", "entity_id").as[(String, String)].collect().toMap
+    assert(got == Map("d-en" -> "E04", "d-de" -> "E05"))
+  }
+
+  test("J2: normalization routes 'The Window' to the window aliases") {
+    val mentions = Seq(("d1", "en", "WORK_OF_ART", "The Window", 0.96))
+      .toDF("doc", "lang", "label", "mention", "confidence")
+    val got = Linker.link(spark, mentions, Seq("doc"))
+      .select("entity_id").as[String].collect().toSeq
+    assert(got == Seq("E09"))
+  }
+
+  test("J3: CC matches union-find on seeded random graphs incl. hot vertex") {
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = (1 to n).map { _ =>
+        (s"v${rnd.nextInt(25)}", s"v${rnd.nextInt(25)}")
+      } ++ (1 to 10).map(i => ("hot", s"v${rnd.nextInt(25)}")) // star on 'hot'
+      val expected = ConnectedComponents.runScalar(edges)
+      val got = ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+        .as[(String, String)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("J3: fixpoint — one more iteration changes nothing") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val l1 = ConnectedComponents.run(spark, edges, maxIter = 20)
+      .as[(String, String)].collect().toMap
+    val l2 = ConnectedComponents.run(spark, edges, maxIter = 21)
+      .as[(String, String)].collect().toMap
+    assert(l1 == l2)
+    assert(l1 == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("J3: chain of length 12 converges (log-steps min-label propagation)") {
+    val chain = (0 until 12).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    val got = ConnectedComponents.run(spark, chain.toDF("src", "dst"))
+      .as[(String, String)].collect().toMap
+    assert(got.values.toSet == Set("n00"))
+  }
+
+  test("manifest resume: second run reads the committed snapshot; fingerprint change recomputes") {
+    val wh = tmpDir("warehouse")
+    var computes = 0
+    def stage(): DataFrame = { computes += 1; Fixtures.docsDf(50) }
+
+    val r1 = Manifest.runStage(spark, wh, "docs", Seq("lang"), "fp-A")(stage())
+    assert(computes == 1 && r1.count() == 50)
+    val r2 = Manifest.runStage(spark, wh, "docs", Seq("lang"), "fp-A")(stage())
+    assert(computes == 1, "resume must not recompute")
+    assert(r2.count() == 50)
+    Manifest.runStage(spark, wh, "docs", Seq("lang"), "fp-B")(stage())
+    assert(computes == 2, "fingerprint change must recompute")
+
+    val m = Manifest.readManifest(spark, wh, "docs").get
+    assert(m.contains("\"rows\":50") && m.contains("\"partitions\":["))
+  }
+}

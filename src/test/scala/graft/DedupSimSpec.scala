@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup family (exact / MinHash+LSH / SimHash / Jaccard) and ANN search
+  * (brute-force vs LSH recall).
+  */
+class DedupSimSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog again and again today"
+  val nearDup = base.replace("today", "tomorrow")
+  val other = "completely different content about spark shuffles and partitions here"
+
+  def shinglesOf(s: String): Seq[String] =
+    s.split(" ").sliding(3).map(_.mkString(" ")).toSeq
+
+  test("shingles HOF matches scala sliding-window") {
+    val got = Seq(base).toDF("t")
+      .select(Dedup.shingles(Dedup.tokens(col("t"))))
+      .as[Seq[String]].collect().head
+    assert(got == shinglesOf(base))
+  }
+
+  test("minhash: identical docs -> identical signatures; near-dup shares bands; distinct doc does not") {
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, other)).toDF("doc_id", "t")
+      .select(col("doc_id"), Dedup.shingles(Dedup.tokens(col("t"))).as("sh"))
+    val sigs = df.select(col("doc_id"), Dedup.signature(col("sh")))
+      .as[(Long, String)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+
+    val bands = df.select(col("doc_id"), explode(Dedup.bandKeys(col("sh"))).as("b"))
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((bands(1L) & bands(2L)).nonEmpty, "exact dup must collide")
+    assert((bands(1L) & bands(3L)).nonEmpty, "near dup (1 token of 13) should collide")
+    assert((bands(1L) & bands(4L)).isEmpty, "unrelated doc must not collide")
+  }
+
+  test("simhash: identical equal; near-dup within small hamming distance; unrelated far") {
+    val toks = Seq((1L, base), (2L, base), (3L, nearDup), (4L, other))
+      .toDF("doc_id", "t")
+      .select(col("doc_id"), explode(Dedup.tokens(col("t"))).as("token"))
+    val sh = Dedup.simhash(toks, Seq("doc_id")).as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(2L))
+    assert(hamming(sh(1L), sh(3L)) <= 4, s"near-dup hamming ${hamming(sh(1L), sh(3L))}")
+    assert(hamming(sh(1L), sh(4L)) > hamming(sh(1L), sh(3L)))
+  }
+
+  test("jaccard HOF == scala set computation") {
+    val got = Seq((base, nearDup)).toDF("a", "b")
+      .select(Dedup.jaccard(
+        array_distinct(Dedup.shingles(Dedup.tokens(col("a")))),
+        array_distinct(Dedup.shingles(Dedup.tokens(col("b"))))))
+      .as[Double].collect().head
+    val sa = shinglesOf(base).toSet
+    val sb = shinglesOf(nearDup).toSet
+    assert(math.abs(got - sa.intersect(sb).size.toDouble / sa.union(sb).size) < 1e-12)
+  }
+
+  test("ANN: brute-force top-k matches local computation on sf0.001") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 3)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    val local = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = local.filter(_._1 < 5).map { case (q, qe) =>
+      q -> local.filter(_._1 != q)
+        .map { case (n, ne) => (n, cos(qe, ne)) }
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1).toSeq
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("ANN: LSH path returns valid neighbors with nonzero recall (seeded)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, 5, bits = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // random gaussian embeddings are the worst case for LSH; with 4 bits +
+    // single-bit multiprobe each query scans ~5/16 of the corpus, so recall
+    // must be materially nonzero. Deterministic given (data, seed).
+    assert(lsh.nonEmpty)
+    val recall = (lsh & brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.KgPipeline
+import graft.sources.Tables
+
+/** Driver-contract smoke + end-to-end pipeline invariants on the driver
+  * tables (sf0.001).
+  */
+class EndToEndSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("entry(): flagship returns rows with the triple schema") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSet == Set("subj", "pred", "obj", "repo", "lang"))
+    assert(df.count() > 0)
+  }
+
+  test("every registered query runs at sf0.001 and is non-empty unless disclaimed") {
+    val mayBeEmpty = Set("dedup_jaccard", "dedup_lsh_pairs") // similarity thresholds
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n >= 0)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("oracle SQL exists for every SQL-expressible query; names align") {
+    val q = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(q))
+    // the disclaimed rows-only set is exactly the UDF/stub-bearing ops
+    assert(q -- SparkEntry.oracleSql.keySet ==
+      Set("g1_split", "g3_chunk", "a4_merge", "ann_lsh", "mm_decode"))
+  }
+
+  test("sha256 row invariant holds on the driver table (north rule)") {
+    val bad = Tables.documents(spark, dir)
+      .select(sha2(col("text"), 256).as("spark_side"), col("text"))
+      .as[(String, String)].collect()
+      .filter { case (h, t) => h != graft.functions.Text.sha256HexScalar(t) }
+    assert(bad.isEmpty)
+  }
+
+  test("canonicalized triples: obj is the component minimum; canon path non-empty") {
+    val t = KgPipeline.triples(spark, Tables.docsDf(spark, dir), canonicalize = true)
+    assert(t.count() > 0)
+    // canonical ids must be drawn from the dictionary's entity ids
+    val objs = t.select("obj").distinct().as[String].collect().toSet
+    val known = graft.operators.Tagger.aliasDict.map(_.entity_id).toSet
+    assert(objs.subsetOf(known))
+  }
+
+  test("sentence-level pipeline == doc-level pipeline on the driver corpus") {
+    // chunk granularity vanishes in the group-by (A4, ner.py:196-203):
+    // driver docs have no sentence punctuation, so both paths agree exactly
+    val docLevel = KgPipeline.triples(spark, Tables.docsDf(spark, dir))
+      .as[graft.model.Triple].collect().toSet
+    val sentLevel = KgPipeline.triples(spark, Tables.docsDf(spark, dir),
+        sentenceLevel = true)
+      .as[graft.model.Triple].collect().toSet
+    assert(docLevel == sentLevel)
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.model.Entity
+import graft.operators._
+
+/** G4 tagger semantics, the README golden transcripts end-to-end, A1/A2
+  * middleware, and the north-rule P/R (engine triples vs reference-scalar
+  * tags) on the synthetic fixture corpus.
+  */
+class TaggerMiddlewareSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // Reference-faithful row-scalar /ner path (FIXTURES.md §2): cleanup →
+  // split → tag per sentence → threshold → group by label into sorted sets.
+  private def nerScalar(text: String): Map[String, Seq[String]] =
+    Splitter.splitScalar(text)
+      .flatMap(s => Tagger.tagScalar(s))
+      .filter(_.confidence >= Tagger.threshold)
+      .groupBy(_.label)
+      .map { case (l, es) => l -> es.map(_.text).distinct.sorted }
+
+  // /nernosplit path for short text: tag the whole (cleaned) text at once.
+  private def nerNoSplitScalar(text: String): Map[String, Seq[String]] =
+    Tagger.tagScalar(Text.cleanupScalar(text))
+      .filter(_.confidence >= Tagger.threshold)
+      .groupBy(_.label)
+      .map { case (l, es) => l -> es.map(_.text).distinct.sorted }
+
+  val anton =
+    "die Kinder von Anton Schwarz haben in Dresden eine Wohnung. In dem Buch Traumwerkstadt wird die Wohnung beschrieben."
+  val elisabeth =
+    "die Kinder von Elisabeth II. haben in Dresden eine Wohnung. In dem Buch Traumwerkstadt wird die Wohnung beschrieben."
+  val elisabethQuoted =
+    "die Kinder von Elisabeth II. haben in Dresden eine Wohnung. In dem Buch \"Traumwerkstadt\" wird die Wohnung beschrieben."
+
+  test("golden /ner: Anton Schwarz paragraph (README.md:73-76)") {
+    assert(nerScalar(anton) == Map(
+      "PERSON" -> Seq("Anton Schwarz"),
+      "GPE" -> Seq("Dresden"),
+      "WORK_OF_ART" -> Seq("Traumwerkstadt")))
+  }
+
+  test("golden /ner: Elisabeth II. mis-split drops PERSON (README.md:84-90)") {
+    assert(nerScalar(elisabeth) == Map(
+      "GPE" -> Seq("Dresden"),
+      "WORK_OF_ART" -> Seq("Traumwerkstadt")))
+  }
+
+  test("golden /nernosplit: PERSON recovered as 'Elisabeth II' (README.md:92-98)") {
+    val got = nerNoSplitScalar(elisabeth)
+    assert(got("PERSON") == Seq("Elisabeth II"))
+    assert(got("GPE") == Seq("Dresden"))
+    // Divergence pinned: the reference's flair model missed Traumwerkstadt
+    // in this transcript ("a general problem with neural networks",
+    // README.md:92); our deterministic tagger finds it.
+    assert(got("WORK_OF_ART") == Seq("Traumwerkstadt"))
+  }
+
+  test("golden /nernosplit: quoted title tagged WITH quotes (README.md:96-98)") {
+    val got = nerNoSplitScalar(elisabethQuoted)
+    assert(got("WORK_OF_ART") == Seq("\"Traumwerkstadt\""))
+    assert(got("PERSON") == Seq("Elisabeth II"))
+  }
+
+  test("G4 spans: begin/end offsets are exact") {
+    val es = Tagger.tagScalar("x spark y")
+    val e = es.find(_.label == "ORG").get
+    assert(e.text == "spark" && e.begin == 2 && e.end == 7)
+  }
+
+  test("G4 distributed == scalar: tagMentions matches per-row tagScalar") {
+    val docs = Fixtures.docsDf(200)
+      .withColumn("cleaned", Text.cleanup(col("content")))
+    val dist = Tagger.tagMentions(
+        docs.select(col("path"), col("cleaned")), "cleaned")
+      .groupBy("path", "label", "mention").count()
+      .as[(String, String, String, Long)].collect().toSet
+    val local = Fixtures.docs(200).flatMap { d =>
+      Tagger.tagScalar(Text.cleanupScalar(d.content))
+        .map(e => (d.path, e.label, e.text))
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, k._3, v.size.toLong) }.toSet
+    assert(dist == local)
+  }
+
+  test("P4 threshold boundary: conf >= 0.95 kept, 0.90 dropped (middleware.py:62)") {
+    val rows = Seq(
+      ("d1", "A", "x", 0.95), ("d1", "B", "y", 0.9499999), ("d1", "C", "z", 0.90))
+      .toDF("doc", "label", "mention", "confidence")
+    val kept = Middleware.entityGroups(rows, Seq("doc"))
+      .select("label").as[String].collect().toSet
+    assert(kept == Set("A"))
+  }
+
+  test("A1 set semantics: duplicate mentions collapse; output sorted") {
+    val rows = Seq(
+      ("d1", "PERSON", "b", 0.99), ("d1", "PERSON", "a", 0.99),
+      ("d1", "PERSON", "b", 0.99))
+      .toDF("doc", "label", "mention", "confidence")
+    val ents = Middleware.entityGroups(rows, Seq("doc"))
+      .select("entities").as[Seq[String]].collect().head
+    assert(ents == Seq("a", "b"))
+  }
+
+  test("A1 invariant: entity map unchanged under sentence permutation") {
+    val doc = Fixtures.docs(1, seed = 99).head
+    val sents = Splitter.splitScalar(doc.content)
+    val perm = new scala.util.Random(3).shuffle(sents)
+    def mapOf(ss: Seq[String]) = ss.flatMap(Tagger.tagScalar)
+      .filter(_.confidence >= Tagger.threshold)
+      .groupBy(_.label).view.mapValues(_.map(_.text).distinct.sorted).toMap
+    assert(mapOf(sents) == mapOf(perm))
+  }
+
+  test("A2 sentiment: signs, unknown-label exclusion, div-by-zero -> null") {
+    val rows = Seq(
+      ("d1", "POSITIV", 0.8), ("d1", "NEGATIV", 0.3), ("d1", "UNKNOWN", 1.0),
+      ("d2", "OTHER", 1.0), ("d2", "OFFENSE", 0.5),
+      ("d3", "UNKNOWN", 1.0))
+      .toDF("doc", "label", "confidence")
+    val got = Middleware.sentiment(rows, Seq("doc"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(math.abs(got("d1").get - 0.25) < 1e-12) // (0.8-0.3)/2
+    assert(math.abs(got("d2").get - 0.25) < 1e-12) // (1.0-0.5)/2
+    assert(got("d3").isEmpty) // reference would div-by-zero (middleware.py:41)
+  }
+
+  test("G5 lemma: article tokens dropped, lowercased (middlewareServer.py:113-119)") {
+    assert(Lemmatizer.normalizeScalar("The Window") == "window")
+    assert(Lemmatizer.normalizeScalar("der die das Ende") == "ende")
+    assert(Lemmatizer.normalizeScalar("Anton Schwarz") == "anton schwarz")
+  }
+
+  test("north rule P/R >= 0.95: engine triples vs reference-scalar tags") {
+    val n = 300
+    val docs = Fixtures.docsDf(n)
+    val engine = graft.pipeline.KgPipeline.triples(spark, docs)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+
+    // reference tags, row by row, translated to triple form with the same
+    // linking rule (FIXTURES.md §2)
+    val aliasByNorm = Tagger.aliasDict.groupBy(_.alias_norm)
+    val expected = Fixtures.docs(n).flatMap { d =>
+      Tagger.tagScalar(Text.cleanupScalar(d.content))
+        .filter(_.confidence >= Tagger.threshold)
+        .flatMap { e =>
+          val norm = Lemmatizer.normalizeScalar(e.text)
+          aliasByNorm.get(norm).map { cands =>
+            val best = cands.map { a =>
+              (a.prior + (if (a.pref_lang == d.lang) Tagger.langBonus else 0.0), a)
+            }.sortBy { case (score, a) => (-score, a.entity_id) }.head._2
+            (s"${d.repo}/${d.path}@${d.commit}", s"mentions:${e.label}", best.entity_id)
+          }
+        }
+    }.toSet
+
+    val tp = (engine & expected).size.toDouble
+    val precision = tp / engine.size
+    val recall = tp / expected.size
+    assert(precision >= 0.95 && recall >= 0.95,
+      s"P=$precision R=$recall engine=${engine.size} expected=${expected.size}")
+    // in fact the deterministic twin should be exact:
+    assert(engine == expected)
+  }
+}

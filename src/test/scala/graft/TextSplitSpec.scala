@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.operators.{Chunker, Splitter}
+
+/** P1-P3/P7 scalar↔Column parity, splitter goldens (reference README.md
+  * transcripts), and chunker greedy-packing parity (ner.py:183-192).
+  */
+class TextSplitSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def columnTwin(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      inputs: Seq[String]): Seq[String] =
+    inputs.toDF("s").select(f(col("s"))).as[String].collect().toSeq
+
+  val nasty = Seq(
+    "a\nb", "a  b", "a­b", "a­ b", "x\t\ty",
+    "plain", "", "  lead and trail  ", "mix\n  of­ all",
+    "puakept?", "line|short dateline", "x" * 30 + "|long prefix stays")
+
+  test("P1 cleanup: Column == scalar twin on nasty inputs") {
+    val got = columnTwin(Text.cleanup, nasty)
+    assert(got == nasty.map(Text.cleanupScalar))
+  }
+
+  test("P1 cleanup idempotent without soft hyphens; non-idempotent WITH (faithful)") {
+    // The reference's cleanup is genuinely non-idempotent: U+00AD becomes a
+    // space AFTER whitespace collapse (sentsplitter.py:10-18), so soft
+    // hyphen + space -> two spaces, which a second pass collapses. Pin both.
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab \n\t.!?|\u00c4\u00d6\u00fc"
+    (1 to 300).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val once = Text.cleanupScalar(s)
+      assert(Text.cleanupScalar(once) == once, s"not idempotent on ${s.getBytes.toSeq}")
+    }
+    val withHyphen = Text.cleanupScalar("a\u00ad b")
+    assert(withHyphen == "a  b" && Text.cleanupScalar(withHyphen) == "a b")
+  }
+
+  test("P1 faithful quirk: soft hyphen AFTER collapse leaves double space") {
+    // sentsplitter.py:10-18 order: \n, then \s{2,}, then U+00AD
+    assert(Text.cleanupScalar("a­ b") == "a  b")
+  }
+
+  test("P2 PUA strip: Column == scalar; BMP PUA removed") {
+    val got = columnTwin(Text.puaStrip, nasty)
+    assert(got == nasty.map(Text.puaStripScalar))
+    assert(Text.puaStripScalar("xyz") == "xyz")
+  }
+
+  test("P3 dateline strip: Column == scalar; <26-char prefix dropped") {
+    val got = columnTwin(Text.datelineStrip, nasty)
+    assert(got == nasty.map(Text.datelineStripScalar))
+    assert(Text.datelineStripScalar("Dresden, 3. Mai|Body text") == "Body text")
+    assert(Text.datelineStripScalar("x" * 26 + "|keeps") == "x" * 26 + "|keeps")
+  }
+
+  test("P7 sha256: Column sha2 == java twin (row invariant)") {
+    val inputs = Seq("", "abc", "ümläut ß", "a\nb")
+    val got = columnTwin(c => sha2(c, 256), inputs)
+    assert(got == inputs.map(Text.sha256HexScalar))
+  }
+
+  // --- Splitter goldens: reference README.md:73-105 -----------------------
+
+  val elisabethQuoted =
+    "die Kinder von Elisabeth II. haben in Dresden eine Wohnung. In dem Buch \"Traumwerkstadt\" wird die Wohnung beschrieben."
+
+  test("G1 split golden: /split transcript (README.md:101-105)") {
+    assert(Splitter.splitScalar(elisabethQuoted) == Seq(
+      "die Kinder von Elisabeth II.",
+      "haben in Dresden eine Wohnung.",
+      "In dem Buch \"Traumwerkstadt\" wird die Wohnung beschrieben."))
+  }
+
+  test("G1 split: two plain sentences (README.md:73-76)") {
+    val t = "die Kinder von Anton Schwarz haben in Dresden eine Wohnung. In dem Buch Traumwerkstadt wird die Wohnung beschrieben."
+    assert(Splitter.splitScalar(t) == Seq(
+      "die Kinder von Anton Schwarz haben in Dresden eine Wohnung.",
+      "In dem Buch Traumwerkstadt wird die Wohnung beschrieben."))
+  }
+
+  test("G1 split: abbreviations do not split; order preserved") {
+    val t = "Dr. Meier kam an. Nr. 7 war frei. Es war ca. 9 Uhr."
+    assert(Splitter.splitScalar(t) == Seq(
+      "Dr. Meier kam an.", "Nr. 7 war frei.", "Es war ca. 9 Uhr."))
+  }
+
+  test("G1 split: non-space chars preserved under split (seeded property)") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("Der", "hund", "lief.", "Weit!", "II.", "Dr.", "\"Zitat\"", "Ende?")
+    (1 to 200).foreach { _ =>
+      val t = Seq.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.length))).mkString(" ")
+      val joined = Splitter.splitScalar(t).mkString(" ")
+      assert(joined.replace(" ", "") == Text.cleanupScalar(t).trim.replace(" ", ""),
+        s"chars lost on: $t")
+    }
+  }
+
+  // --- Chunker: exact greedy parity with ner.py:183-192 -------------------
+
+  test("G3 chunk: faithful quirks — leading space + overshoot allowed") {
+    // limit = 20 - 2 = 18; check precedes append so a part may overshoot
+    val s = Seq("aaaaaaaaaa", "bbbbbbbbbb", "cc")
+    val parts = Chunker.chunkScalar(s, maxNoSplit = 20)
+    // first part carries the reference's leading space AND overshoots 20
+    // (the length check precedes the append); the next part starts bare.
+    assert(parts == Seq(" aaaaaaaaaa bbbbbbbbbb", "cc"))
+  }
+
+  test("G3 chunk: no sentence dropped (seeded property)") {
+    val rnd = new scala.util.Random(5)
+    (1 to 200).foreach { _ =>
+      val sents = Seq.fill(1 + rnd.nextInt(10))("s" * (1 + rnd.nextInt(30)))
+      val parts = Chunker.chunkScalar(sents, maxNoSplit = 25)
+      assert(parts.mkString(" ").split(" +").filter(_.nonEmpty).toSeq ==
+        sents, s"sentences lost: $sents")
+    }
+  }
+
+  test("G3 chunk: short text passes through whole (ner.py:181,204)") {
+    val df = Seq((1L, "short text. stays whole.")).toDF("doc_id", "content")
+    val out = Chunker.explodeChunks(df, maxNoSplit = 500)
+      .select("chunk").as[String].collect()
+    assert(out.toSeq == Seq("short text. stays whole."))
+  }
+}
