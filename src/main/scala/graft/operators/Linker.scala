@@ -1,43 +1,56 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** J2 — candidate entity linking (north-star KG extension; not present in
   * the reference, mandated by BASELINE.json).
   *
-  * Mentions are normalized ([[Lemmatizer.normalizeMention]]), broadcast-
-  * joined against the alias dictionary on `mention_norm == alias_norm`,
-  * scored with a context-similarity bonus (document language vs the alias's
-  * preferred language), and the best candidate per (doc, mention) is picked
-  * with a `row_number` window — deterministic tie-break by `entity_id`.
+  * Mentions are normalized ([[Lemmatizer.normalizeMention]]) and broadcast-
+  * joined against the alias dictionary GROUPED BY alias (one row per
+  * `alias_norm`, candidates as an array). The winner — logically
+  * `row_number over (partition by mention order by score desc, entity_id)
+  * = 1` with score = prior + language-context bonus — is resolved per row
+  * by `array_min` over the scored candidate array.
   *
-  * Scale notes: the dictionary side is broadcast (no shuffle); the window
-  * partitions by the mention key which is already the join output's
-  * partitioning, and at 100 TB the doc-side relation stays shuffle-free up
-  * to this point when the tagger ran per-partition.
+  * Scale rationale: this is a ZERO-SHUFFLE stage. A window formulation
+  * sort-shuffles every candidate row; a min(struct) aggregation falls out
+  * of HashAggregate into SortAggregate (struct buffers are not mutable
+  * UnsafeRow types). The scored-array projection runs inside whole-stage
+  * codegen, keeps the context scoring per-document (any doc-side feature
+  * can join the lambda), and shuffles nothing at any corpus size.
   */
 object Linker {
 
+  /** Alias dictionary grouped per alias: (alias_norm, cands:array<struct<
+    * entity_id,label,prior,pref_lang>>). Tiny; broadcast side.
+    */
+  def aliasGroupedDf(spark: SparkSession): DataFrame =
+    Tagger.aliasDf(spark)
+      .groupBy("alias_norm")
+      .agg(collect_list(struct(col("entity_id"), col("label"), col("prior"),
+        col("pref_lang"))).as("cands"))
+
   /** Input: (keyCols..., lang, label, mention, confidence) mention rows.
-    * Output: one winning link per (keyCols, mention):
-    * (keyCols..., lang, mention, mention_norm, label, entity_id, score).
+    * Output: one winning link per input row (dedup of repeated mentions is
+    * the caller's concern — the pipeline's final `distinct` or the query's
+    * input dedup): (keyCols..., lang, label, mention, mention_norm,
+    * entity_id, score). Mentions whose normal form is not in the dictionary
+    * are dropped (inner-join semantics).
     */
   def link(spark: SparkSession, mentions: DataFrame, keyCols: Seq[String],
       langBonus: Double = Tagger.langBonus): DataFrame = {
-    val dict = Tagger.aliasDf(spark)
-      .withColumnRenamed("label", "dict_label")
-    val cand = Lemmatizer.normalized(mentions)
-      .join(broadcast(dict), col("mention_norm") === col("alias_norm"))
-      .withColumn("score",
-        col("prior") + when(col("lang") === col("pref_lang"), lit(langBonus))
-          .otherwise(lit(0.0)))
-    val w = Window
-      .partitionBy((keyCols :+ "mention").map(col): _*)
-      .orderBy(col("score").desc, col("entity_id"))
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "alias_norm", "prior", "pref_lang")
+    val scored = (c: Column) => struct(
+      negate(c.getField("prior") +
+        when(col("lang") === c.getField("pref_lang"), lit(langBonus))
+          .otherwise(lit(0.0))).as("neg_score"),
+      c.getField("entity_id").as("entity_id"))
+    Lemmatizer.normalized(mentions)
+      .join(broadcast(aliasGroupedDf(spark)),
+        col("mention_norm") === col("alias_norm"))
+      .withColumn("w", array_min(transform(col("cands"), scored)))
+      .withColumn("entity_id", col("w.entity_id"))
+      .withColumn("score", negate(col("w.neg_score")))
+      .drop("alias_norm", "cands", "w")
   }
 }

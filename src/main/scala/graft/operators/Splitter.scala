@@ -84,6 +84,27 @@ object Splitter {
     t.dropWhile(c => !c.isLetterOrDigit && c != '.')
   }
 
+  /** Naive fallback splitter: break after every sentence-final punctuation
+    * run followed by a space, no abbreviation handling — the analogue of
+    * the reference's degraded nltk fallback path (`sentsplitter.py:79-88`,
+    * used after 3 zmq timeouts).
+    */
+  def naiveSplitScalar(raw: String): Seq[String] = {
+    if (raw == null) return Seq.empty
+    graft.functions.Text.cleanupScalar(raw)
+      .split("(?<=[.!?]) ")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** U2 — the pluggable splitter registry (reference
+    * `sentsplitter = {'nltk','zmq'}`, `sentsplitter.py:91-94`): the
+    * nltk-vs-spacy duality collapses into the rule-based splitter, with the
+    * naive variant standing in for the degraded fallback.
+    */
+  val registry: Map[String, String => Seq[String]] = Map(
+    "rule" -> splitScalar,
+    "naive" -> naiveSplitScalar)
+
   /** The splitter as a Spark UDF returning the ordered sentence array. */
   val splitUdf = udf((text: String) => splitScalar(text))
 

@@ -87,17 +87,23 @@ object Tagger {
   /** Tag a column: returns one row per (label, mention occurrence), no span
     * info — the Catalyst-only fast path (`regexp_extract_all`, codegen'd).
     * Input df must carry `textCol`; output adds (label, mention, confidence).
+    *
+    * SINGLE-SCAN design: all patterns evaluate in one projection over one
+    * pass of the input (per-pattern arrays → flatten → one explode). A
+    * union-of-branches formulation would re-scan the source — and re-run
+    * any upstream UDF stage like the sentence splitter — once per pattern,
+    * which is unacceptable at 10^12-file scale.
     */
   def tagMentions(df: DataFrame, textCol: String): DataFrame = {
-    val tagged = patterns.map { p =>
-      df.select(
-        col("*"),
-        lit(p.label).as("label"),
-        lit(p.confidence).as("confidence"),
-        explode(regexp_extract_all(col(textCol), lit(p.regex), lit(p.group)))
-          .as("mention"))
+    val perPattern = patterns.map { p =>
+      transform(
+        regexp_extract_all(col(textCol), lit(p.regex), lit(p.group)),
+        m => struct(lit(p.label).as("label"),
+          lit(p.confidence).as("confidence"), m.as("mention")))
     }
-    tagged.reduce(_ unionAll _).drop(textCol)
+    df.select(col("*"), explode(flatten(array(perPattern: _*))).as("e"))
+      .select(col("*"), col("e.label"), col("e.confidence"), col("e.mention"))
+      .drop("e", textCol)
   }
 
   /** Spark-SQL (DuckDB-shared) fragment tagging cleaned column expr. Emits a

@@ -123,6 +123,42 @@ class TextSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("U2 splitter registry: rule vs naive fallback differ exactly on abbreviations") {
+    val t = "Dr. Meier kam an. Es regnete."
+    assert(Splitter.registry("rule")(t) == Seq("Dr. Meier kam an.", "Es regnete."))
+    assert(Splitter.registry("naive")(t) ==
+      Seq("Dr.", "Meier kam an.", "Es regnete."))
+  }
+
+  test("training corpus pipeline: P2 pua -> P3 dateline -> P5 lang -> P6 remap -> O3 split") {
+    // mirrors the reference training notebook cells 3-13 end to end
+    val spark2 = spark
+    import spark2.implicits._
+    val raw = Seq(
+      (1L, "de", "Dresden, 3. Mai|Der Text über das Werk."),
+      (2L, "de", "Einfacher Text ohne Dateline."),
+      (3L, "en", "short|english text kept whole? no: dateline dropped"),
+      (4L, "zh", "filtered out by language"))
+      .toDF("doc_id", "lang", "text")
+    val cleaned = raw
+      .withColumn("text", Text.puaStrip(col("text")))
+      .withColumn("text", Text.datelineStrip(col("text")))
+      .filter(col("lang").isin("de", "en"))
+      .withColumn("label", when(col("lang") === "zh", "other").otherwise(col("lang")))
+      .withColumn("bucket", Text.hexBucket(col("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 204, "train")
+          .when(col("bucket") < 230, "dev").otherwise("test"))
+    val rows = cleaned.select("doc_id", "text", "split")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(rows.length == 3)
+    assert(rows(0)._2 == "Der Text über das Werk.") // dateline stripped
+    assert(rows(1)._2 == "Einfacher Text ohne Dateline.")
+    assert(Set("train", "dev", "test").contains(rows(0)._3))
+    // deterministic: same bucket on recompute
+    assert(Text.hexBucketSqlDuck("doc_id").nonEmpty)
+  }
+
   test("G3 chunk: short text passes through whole (ner.py:181,204)") {
     val df = Seq((1L, "short text. stays whole.")).toDF("doc_id", "content")
     val out = Chunker.explodeChunks(df, maxNoSplit = 500)
