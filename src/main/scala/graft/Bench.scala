@@ -79,9 +79,12 @@ object Bench {
     // stages well below 32 threads — raw-CPU scaling on the same box is
     // 3.96x from 8->32 threads, string workloads are not); (8,32) is
     // reported for transparency as the bandwidth-capped pair.
-    val lowCpus = 2
-    val midCpus = math.max(lowCpus * 4, cpus / 4)
-    val levels = Seq(lowCpus, midCpus, cpus)
+    // N vs 4N pair: (2,8) when the box allows (see BENCH.md for why this
+    // pair measures the plan rather than the memory bus); degrade gracefully
+    // if the driver hands us fewer threads.
+    val lowCpus = if (cpus >= 8) 2 else math.max(1, cpus / 4)
+    val midCpus = if (cpus >= 8) 8 else cpus
+    val levels = (Seq(lowCpus, midCpus, cpus).distinct: Seq[Int])
 
     // One session PER LEVEL, measured as warmup + `rounds` timed reps, min
     // taken. Empirically (phase profiles across the day) repeated runs

@@ -418,6 +418,35 @@ object SparkEntry {
           |WHERE jac >= 0.004 ORDER BY da, db""".stripMargin
       }),
 
+    // ---- dedup: embedding-cosine near-duplicate pairs ----------------------
+    // blocked brute-force at oracle scale; the LSH-bucketed scale path is
+    // Similarity.lshTopK (rows-only ann_lsh + recall test)
+    QuerySpec("dedup_embedding",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+            col("label"))
+        val a = emb.select(col("label"), col("vec_id").as("va"), col("e").as("ea"))
+        val b = emb.select(col("label"), col("vec_id").as("vb"), col("e").as("eb"))
+        a.join(b, Seq("label")).filter(col("va") < col("vb"))
+          .select(col("va"), col("vb"),
+            round(Similarity.cosine(col("ea"), col("eb")), 6).as("cos"))
+          .filter(col("cos") >= 0.2)
+          .orderBy("va", "vb")
+      },
+      Some {
+        val dot = Similarity.dotSqlDuck("a.e", "b.e")
+        val na = Similarity.dotSqlDuck("a.e", "a.e")
+        val nb = Similarity.dotSqlDuck("b.e", "b.e")
+        s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings WHERE vec_id % 4 = 0)
+          |SELECT va, vb, cos FROM (
+          |  SELECT a.vec_id AS va, b.vec_id AS vb,
+          |    round(($dot) / (sqrt($na) * sqrt($nb)), 6) AS cos
+          |  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id) p
+          |WHERE cos >= 0.2 ORDER BY va, vb""".stripMargin
+      }),
+
     // ---- similarity: brute-force cosine top-k ------------------------------
     QuerySpec("ann_cosine",
       (s, dir) => {

@@ -38,6 +38,20 @@ class EndToEndSpec extends AnyFunSuite {
       Set("g1_split", "g3_chunk", "a4_merge", "ann_lsh", "mm_decode"))
   }
 
+  test("stage registry composes to the same result as the hand-built pipeline") {
+    import graft.pipeline.Stage
+    val docs = Tables.docsDf(spark, dir)
+    val composed = Stage.pipeline(spark,
+      Seq("cleanup", "split", "tag", "threshold", "link"))(docs)
+      .select("repo", "path", "entity_id").distinct()
+      .as[(String, String, String)].collect().toSet
+    val direct = graft.pipeline.KgPipeline.links(spark,
+        graft.pipeline.KgPipeline.sentenceMentions(docs))
+      .select("repo", "path", "entity_id").distinct()
+      .as[(String, String, String)].collect().toSet
+    assert(composed == direct && composed.nonEmpty)
+  }
+
   test("sha256 row invariant holds on the driver table (north rule)") {
     val bad = Tables.documents(spark, dir)
       .select(sha2(col("text"), 256).as("spark_side"), col("text"))
