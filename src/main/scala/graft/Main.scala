@@ -34,7 +34,16 @@ object Main {
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val n = run(spark, sfDir, warehouse, canon)
+    println(s"[graft] pipeline complete: $n triples in $warehouse/triples")
+    spark.stop()
+  }
 
+  /** The resumable staged pipeline (separated from main so tests can drive
+    * it on a shared session). Returns the triple count.
+    */
+  def run(spark: SparkSession, sfDir: String, warehouse: String,
+      canon: Boolean): Long = {
     // stage 0: source snapshot (sha256 row invariant recorded as the
     // downstream input fingerprint — BASELINE.json per-row invariant)
     val docs = Tables.docsDf(spark, sfDir)
@@ -76,7 +85,6 @@ object Main {
         .distinct()
     }
 
-    println(s"[graft] pipeline complete: ${triples.count()} triples in $warehouse/triples")
-    spark.stop()
+    triples.count()
   }
 }

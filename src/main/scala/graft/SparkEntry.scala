@@ -199,6 +199,35 @@ object SparkEntry {
         "THEN 1 ELSE 0 END), 0) AS score " +
         "FROM events GROUP BY user_id ORDER BY user_id")),
 
+    // ---- A2 + U3: doc-level sentiment over the deterministic classifier -
+    // (flair TextClassifier twin; reference positive/negative defaults from
+    // nerapi.py:79-84 feed middleware.py:14-43)
+    QuerySpec("a2_sentiment_docs",
+      (s, dir) => {
+        val pos = Seq("POSITIV", "OTHER")
+        val neg = Seq("NEGATIV", "OFFENSE")
+        val labeled = Tagger.classify(
+          cleanedDocs(s, dir).select("doc_id", "cleaned"), "cleaned")
+        val signed = when(col("value").isin(pos: _*), dec(col("confidence")))
+          .when(col("value").isin(neg: _*), -dec(col("confidence")))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))
+        val known = when(col("value").isin(pos ++ neg: _*), 1L).otherwise(0L)
+        labeled.groupBy("doc_id")
+          .agg((sum(signed).cast("double") / nullif(sum(known), lit(0L)))
+            .as("score"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val lab = Tagger.classifySqlDuck(Seq("doc_id"), "cleaned", s"$cleanedRel c")
+        "SELECT doc_id, CAST(sum(CASE " +
+          "WHEN value IN ('POSITIV','OTHER') THEN CAST(confidence AS DECIMAL(18,2)) " +
+          "WHEN value IN ('NEGATIV','OFFENSE') THEN -CAST(confidence AS DECIMAL(18,2)) " +
+          "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / " +
+          "nullif(sum(CASE WHEN value IN ('POSITIV','OTHER','NEGATIV','OFFENSE') " +
+          "THEN 1 ELSE 0 END), 0) AS score " +
+          s"FROM $lab t GROUP BY doc_id ORDER BY doc_id"
+      }),
+
     // ---- A4: chunk-result merge (ner.py:196-203) — rows-only ------------
     QuerySpec("a4_merge",
       (s, dir) => {
@@ -343,9 +372,9 @@ object SparkEntry {
     // ---- dedup: MinHash signatures ---------------------------------------
     QuerySpec("dedup_minhash",
       (s, dir) => cleanedDocs(s, dir)
-        .select(col("doc_id"),
-          Dedup.signature(Dedup.shingles(Dedup.tokens(col("cleaned"))))
-            .as("sig"))
+        .withColumn("dg",
+          Dedup.shingleDigests(Dedup.shingles(Dedup.tokens(col("cleaned")))))
+        .select(col("doc_id"), Dedup.signatureFromDigests(col("dg")).as("sig"))
         .orderBy("doc_id"),
       Some {
         val sh = Dedup.shinglesSqlDuck("string_split(cleaned, ' ')")
@@ -357,9 +386,10 @@ object SparkEntry {
     QuerySpec("dedup_lsh_pairs",
       (s, dir) => {
         val sh = cleanedDocs(s, dir).select(col("doc_id"),
-          Dedup.shingles(Dedup.tokens(col("cleaned"))).as("sh"))
+          Dedup.shingleDigests(Dedup.shingles(Dedup.tokens(col("cleaned"))))
+            .as("dg"))
         val bands = sh.select(col("doc_id"),
-          explode(Dedup.bandKeys(col("sh"))).as("band"))
+          explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
         val a = bands.withColumnRenamed("doc_id", "da")
         val b = bands.withColumnRenamed("doc_id", "db")
         a.join(b, Seq("band")).filter(col("da") < col("db"))

@@ -50,6 +50,28 @@ object Dedup {
   def minhashSqlDuck(sh: String, h: Int): String =
     s"list_min(list_transform($sh, s -> substr(sha256(s), ${h * 8 + 1}, 8)))"
 
+  /** One sha256 digest per shingle, computed once and sliced by the per-h
+    * minhash variants below. Materialize this as a column (`withColumn`)
+    * before fanning out into the 8 minhash expressions: Catalyst's
+    * subexpression elimination does not reach into separate lambda bodies,
+    * so inlining would hash every shingle 8 times.
+    */
+  def shingleDigests(sh: Column): Column = transform(sh, s => sha2(s, 256))
+
+  def minhashFromDigests(dg: Column, h: Int): Column =
+    array_min(transform(dg, d => substring(d, h * 8 + 1, 8)))
+
+  def signatureFromDigests(dg: Column): Column =
+    concat_ws("|", (0 until numHashes).map(minhashFromDigests(dg, _)): _*)
+
+  def bandKeysFromDigests(dg: Column): Column = {
+    val r = numHashes / numBands
+    array((0 until numBands).map { b =>
+      val parts = (0 until r).map(j => minhashFromDigests(dg, b * r + j))
+      concat(lit(s"$b:"), sha2(concat_ws("|", parts: _*), 256))
+    }: _*)
+  }
+
   /** Full signature as one pipe-joined string column (stable compare). */
   def signature(sh: Column): Column =
     concat_ws("|", (0 until numHashes).map(minhash(sh, _)): _*)

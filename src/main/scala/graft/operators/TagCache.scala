@@ -71,6 +71,24 @@ object TagCache {
     withKey.join(results, Seq(keyCol), "left")
   }
 
+  /** S2 — import the reference's on-disk cache format: one ndjson line per
+    * entry, `{"<sentence>": {"<LABEL>": ["<text>", ...], ...}}`
+    * (`cacheServer.py:25-39` load, example lines at README.md:78-80).
+    * Returns (k, sentence, entity_map) rows keyed by the engine's sha256
+    * (the reference's uuid5 keys are derivable from the same sentence, so
+    * re-keying is lossless).
+    */
+  def importReferenceNdjson(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = MapType(StringType,
+      MapType(StringType, ArrayType(StringType)))
+    spark.read.text(path)
+      .select(from_json(col("value"), schema).as("m"))
+      .select(explode(col("m")).as(Seq("sentence", "entity_map")))
+      .withColumn(keyCol, Text.sha256Hex(col("sentence")))
+      .select(keyCol, "sentence", "entity_map")
+  }
+
   /** O2 — retention: keep the most recent `keep` entries (reference keeps
     * the last 3M ndjson lines weekly, `ner-clean-cache.sh:9`). Ties broken
     * by key for determinism. A global Top-K: fine for a metadata-sized

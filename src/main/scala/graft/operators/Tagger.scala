@@ -94,8 +94,14 @@ object Tagger {
     * any upstream UDF stage like the sentence splitter — once per pattern,
     * which is unacceptable at 10^12-file scale.
     */
-  def tagMentions(df: DataFrame, textCol: String): DataFrame = {
-    val perPattern = patterns.map { p =>
+  def tagMentions(df: DataFrame, textCol: String): DataFrame =
+    tagMentionsWith(patterns)(df, textCol)
+
+  /** U3 — the pluggable-model point (`--model`, `modelServer.py:249-251`):
+    * the tagger stage parameterized by an arbitrary pattern/gazetteer set.
+    */
+  def tagMentionsWith(ps: Seq[Pattern])(df: DataFrame, textCol: String): DataFrame = {
+    val perPattern = ps.map { p =>
       transform(
         regexp_extract_all(col(textCol), lit(p.regex), lit(p.group)),
         m => struct(lit(p.label).as("label"),
@@ -105,6 +111,35 @@ object Tagger {
       .select(col("*"), col("e.label"), col("e.confidence"), col("e.mention"))
       .drop("e", textCol)
   }
+
+  // ---- U3 twin: deterministic TextClassifier (flair sentiment analogue) --
+
+  /** Sentiment lexicon over the driver-corpus vocabulary: the deterministic
+    * stand-in for a flair `TextClassifier` (README.md:201-213 documents the
+    * reference accepting either model family). Emits one doc-level label
+    * row per lexicon hit: (value, confidence) — the shape
+    * `sentimentmiddleware` consumes (`middleware.py:30-41`).
+    */
+  val sentimentLexicon: Seq[(String, String, Double)] = Seq(
+    ("POSITIV", "\\bfast\\b|\\bbig\\b", 0.97),
+    ("NEGATIV", "\\bslow\\b|\\bsmall\\b", 0.96),
+    ("OTHER", "\\bquery\\b", 0.80))
+
+  /** Classify: one row per lexicon match occurrence with (value, confidence).
+    * Single-scan like [[tagMentionsWith]].
+    */
+  def classify(df: DataFrame, textCol: String): DataFrame =
+    tagMentionsWith(sentimentLexicon.map { case (l, rx, c) => Pattern(l, rx, c) })(
+      df, textCol)
+      .withColumnRenamed("label", "value")
+      .drop("mention")
+
+  def classifySqlDuck(keyCols: Seq[String], textExpr: String, from: String): String =
+    sentimentLexicon.map { case (l, rx, c) =>
+      s"SELECT ${keyCols.mkString(", ")}, '$l' AS value, " +
+        s"CAST($c AS DOUBLE) AS confidence " +
+        s"FROM $from, unnest(regexp_extract_all($textExpr, '$rx')) u(m)"
+    }.mkString("(", " UNION ALL ", ")")
 
   /** Spark-SQL (DuckDB-shared) fragment tagging cleaned column expr. Emits a
     * UNION ALL over the pattern set; used to build oracle SQL from the same

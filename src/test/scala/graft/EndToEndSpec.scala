@@ -69,6 +69,48 @@ class EndToEndSpec extends AnyFunSuite {
     assert(objs.subsetOf(known))
   }
 
+  test("Main.run: staged pipeline materializes triples and resumes from manifests") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val n1 = graft.Main.run(spark, dir, wh, canon = true)
+    assert(n1 > 0)
+    assert(graft.pipeline.Manifest.exists(spark, wh, "triples"))
+    assert(graft.pipeline.Manifest.exists(spark, wh, "canon_map"))
+    // second run: same corpus fingerprint -> resumes, same count, and the
+    // triples manifest content is unchanged (no recompute/rewrite)
+    val m1 = graft.pipeline.Manifest.readManifest(spark, wh, "triples").get
+    val n2 = graft.Main.run(spark, dir, wh, canon = true)
+    assert(n2 == n1)
+    assert(graft.pipeline.Manifest.readManifest(spark, wh, "triples").get == m1)
+  }
+
+  test("S2: reference ndjson cache import (README.md:78-80 lines)") {
+    val f = java.nio.file.Files.createTempFile("cache", ".ndjson")
+    java.nio.file.Files.writeString(f,
+      """{"die Kinder von Anton Schwarz haben in Dresden eine Wohnung.": {"PERSON": ["Anton Schwarz"], "GPE": ["Dresden"]}}
+        |{"In dem Buch Traumwerkstadt wird die Wohnung beschrieben.": {"WORK_OF_ART": ["Traumwerkstadt"]}}
+        |""".stripMargin)
+    val got = graft.operators.TagCache.importReferenceNdjson(spark, f.toString)
+      .select("sentence", "entity_map")
+      .as[(String, Map[String, Seq[String]])].collect().toMap
+    assert(got.size == 2)
+    assert(got("In dem Buch Traumwerkstadt wird die Wohnung beschrieben.") ==
+      Map("WORK_OF_ART" -> Seq("Traumwerkstadt")))
+    assert(got.keys.forall(s =>
+      graft.functions.Text.sha256HexScalar(s).nonEmpty))
+  }
+
+  test("U3: tagger parameterized by a custom pattern set; classifier twin labels docs") {
+    import graft.operators.Tagger
+    val docs = Seq((1L, "alpha beta alpha")).toDF("doc_id", "t")
+    val custom = Tagger.tagMentionsWith(Seq(Tagger.Pattern("X", "\\balpha\\b", 0.9)))(
+      docs, "t")
+    assert(custom.select("mention").as[String].collect().toSeq == Seq("alpha", "alpha"))
+    val lab = Tagger.classify(
+      Seq((1L, "fast fast slow query")).toDF("doc_id", "t"), "t")
+      .select("value").as[String].collect().sorted
+    assert(lab.toSeq == Seq("NEGATIV", "OTHER", "POSITIV", "POSITIV"))
+  }
+
   test("sentence-level pipeline == doc-level pipeline on the driver corpus") {
     // chunk granularity vanishes in the group-by (A4, ner.py:196-203):
     // driver docs have no sentence punctuation, so both paths agree exactly
