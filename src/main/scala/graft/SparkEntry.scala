@@ -390,10 +390,19 @@ object SparkEntry {
             .as("dg"))
         val bands = sh.select(col("doc_id"),
           explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
-        val a = bands.withColumnRenamed("doc_id", "da")
-        val b = bands.withColumnRenamed("doc_id", "db")
-        a.join(b, Seq("band")).filter(col("da") < col("db"))
-          .groupBy("da", "db").agg(count(lit(1)).as("n_bands"))
+        // candidate pairs via groupBy-band + in-bucket pair expansion: ONE
+        // pass over the bands (a self-join would recompute the minhash
+        // projection once per join side) and the band bucket is the natural
+        // reducer at corpus scale — only colliding docs meet.
+        val pairs = bands
+          .groupBy("band")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(flatten(transform(col("ds"), (x, i) =>
+            transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+              y => struct(x.as("da"), y.as("db")))))).as("p"))
+        pairs.groupBy(col("p.da").as("da"), col("p.db").as("db"))
+          .agg(count(lit(1)).as("n_bands"))
           .orderBy("da", "db")
       },
       Some {
