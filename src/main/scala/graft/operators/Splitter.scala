@@ -105,7 +105,11 @@ object Splitter {
     "rule" -> splitScalar,
     "naive" -> naiveSplitScalar)
 
-  /** The splitter as a Spark UDF returning the ordered sentence array. */
+  /** The splitter as a Spark UDF returning the ordered sentence array —
+    * kept as the input_hint-sanctioned fallback; the pipeline uses the
+    * codegen'd [[graft.expressions.SplitSentences]] expression (same scalar
+    * twin underneath, no encoder round-trip).
+    */
   val splitUdf = udf((text: String) => splitScalar(text))
 
   /** Stage: Doc-shaped df -> one row per sentence with `sent_idx` order
@@ -114,7 +118,8 @@ object Splitter {
   def explodeSentences(df: DataFrame, contentCol: String = "content"): DataFrame =
     df.select(
         col("*"),
-        posexplode(splitUdf(col(contentCol))).as(Seq("sent_idx", "sentence")))
+        posexplode(graft.expressions.SplitSentences.split_sentences(col(contentCol)))
+          .as(Seq("sent_idx", "sentence")))
       .drop(contentCol)
 }
 

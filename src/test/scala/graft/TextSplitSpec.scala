@@ -123,6 +123,22 @@ class TextSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("G1 codegen expression == UDF == scalar on fixtures, incl. SQL registration") {
+    import graft.expressions.SplitSentences
+    val texts = Fixtures.docs(80).map(_.content) :+ elisabethQuoted
+    val df = texts.toDF("t")
+    val viaExpr = df.select(SplitSentences.split_sentences(col("t")))
+      .as[Seq[String]].collect().toSeq
+    val viaUdf = df.select(Splitter.splitUdf(col("t")))
+      .as[Seq[String]].collect().toSeq
+    assert(viaExpr == viaUdf)
+    assert(viaExpr == texts.map(Splitter.splitScalar))
+    SplitSentences.register(spark)
+    val viaSql = df.selectExpr("split_sentences(t)")
+      .as[Seq[String]].collect().toSeq
+    assert(viaSql == viaExpr)
+  }
+
   test("U2 splitter registry: rule vs naive fallback differ exactly on abbreviations") {
     val t = "Dr. Meier kam an. Es regnete."
     assert(Splitter.registry("rule")(t) == Seq("Dr. Meier kam an.", "Es regnete."))
