@@ -111,6 +111,24 @@ class EndToEndSpec extends AnyFunSuite {
     assert(lab.toSeq == Seq("NEGATIV", "OTHER", "POSITIV", "POSITIV"))
   }
 
+  test("degenerate inputs: null/empty/whitespace/punct-only content flow through cleanly") {
+    val weird = Seq(
+      ("r", "p0", "c0", "en", null.asInstanceOf[String]),
+      ("r", "p1", "c1", "en", ""),
+      ("r", "p2", "c2", "en", "   \n\t  "),
+      ("r", "p3", "c3", "en", "...!!!???"),
+      ("r", "p4", "c4", "de", "spark"), // single gazetteer word, no sentence end
+      ("r", "p5", "c5", "en", "­")) // lone soft hyphen
+      .toDF("repo", "path", "commit", "lang", "content")
+    // none of these may throw; only p4 links
+    val t = KgPipeline.triples(spark, weird)
+      .as[graft.model.Triple].collect()
+    assert(t.map(_.subj).toSet == Set("r/p4@c4"))
+    assert(t.head.obj == "E02" && t.head.pred == "mentions:ORG")
+    val sents = KgPipeline.sentences(weird).count()
+    assert(sents == 2) // only the punct-only and 'spark' rows yield sentences
+  }
+
   test("sentence-level pipeline == doc-level pipeline on the driver corpus") {
     // chunk granularity vanishes in the group-by (A4, ner.py:196-203):
     // driver docs have no sentence punctuation, so both paths agree exactly
