@@ -517,6 +517,17 @@ object SparkEntry {
       },
       None),
 
+    // ---- similarity: IVF ANN (cell-partitioned scale path; brute-force
+    // equivalence at full nprobe asserted in tests) — rows-only ---------------
+    QuerySpec("ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 3)
+          .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos"))
+          .orderBy("qid", "rank")
+      },
+      None),
+
     // ---- text analysis: language ID ----------------------------------------
     QuerySpec("lang_id",
       (s, dir) => cleanedDocs(s, dir)

@@ -104,4 +104,53 @@ object Similarity {
 
   private def bitwise_xor_long(a: Column, b: Column): Column =
     a.bitwiseXOR(b)
+
+  // ---- IVF path ------------------------------------------------------------
+
+  /** Deterministic seeded centroids (unit-normalized gaussians). In a real
+    * deployment these come from a k-means pass persisted with the index;
+    * here the seed IS the index definition, so builds are reproducible.
+    */
+  def centroids(nlist: Int, seed: Long = 7L, d: Int = dim): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nlist) {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** Scores against every centroid as an array column (ordered folds). */
+  private def centroidScores(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.map(c => dot(v, typedLit(c.toSeq))): _*)
+
+  /** IVF (inverted-file) ANN: corpus vectors are assigned map-side to their
+    * nearest centroid cell (the shuffle key at scale — each cell is a
+    * partition of the index); queries probe their `nprobe` nearest cells.
+    * Exact cosine re-ranking inside the probed cells.
+    */
+  def ivfTopK(probesDf: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
+    val cents = centroids(nlist, seed)
+    def rankedCells(v: Column): Column = {
+      val scored = zip_with(
+        centroidScores(v, cents),
+        sequence(lit(0), lit(nlist - 1)),
+        (s, i) => struct(s.as("s"), i.as("cell")))
+      slice(reverse(array_sort(scored)), 1, nprobe)
+    }
+    val c = corpus.select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("ce"))
+      .withColumn("cell", element_at(rankedCells(col("ce")), 1).getField("cell"))
+    val q = probesDf.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("cell", explode(rankedCells(col("qe")).getField("cell")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
 }

@@ -116,6 +116,32 @@ class CacheLinkCcSpec extends AnyFunSuite {
     assert(got.values.toSet == Set("n00"))
   }
 
+  test("skew: salted join == plain join; salted aggregate == plain aggregate (hot key)") {
+    import graft.operators.Skew
+    // hot key: 'k0' carries 90% of the fact rows
+    val fact = ((1 to 900).map(i => ("k0", i.toLong)) ++
+      (1 to 100).map(i => (s"k${i % 7 + 1}", i.toLong)))
+      .toDF("key", "v")
+    val dim = (0 to 7).map(i => (s"k$i", s"payload$i")).toDF("key", "payload")
+
+    val plain = fact.join(dim, Seq("key"))
+      .groupBy("key", "payload").agg(sum("v").as("s"))
+      .as[(String, String, Long)].collect().toSet
+    val salted = Skew.saltedJoin(fact, dim, "key", col("v"), salts = 8)
+      .groupBy("key", "payload").agg(sum("v").as("s"))
+      .as[(String, String, Long)].collect().toSet
+    assert(salted == plain)
+
+    val aggPlain = fact.groupBy("key")
+      .agg(countDistinct("v").as("n")).as[(String, Long)].collect().toSet
+    val aggSalted = Skew.saltedAggregate(fact, Seq("key"), col("v"), 8,
+      collect_set(col("v")), "vs",
+      parts => size(array_distinct(flatten(collect_list(parts)))).cast("long"))
+      .withColumnRenamed("vs", "n")
+      .as[(String, Long)].collect().toSet
+    assert(aggSalted == aggPlain)
+  }
+
   test("manifest resume: second run reads the committed snapshot; fingerprint change recomputes") {
     val wh = tmpDir("warehouse")
     var computes = 0

@@ -83,6 +83,23 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ANN: IVF path — recall vs brute force with nprobe headroom (seeded)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, 5,
+        nlist = 8, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // nprobe/nlist = half the corpus scanned -> recall must be substantial
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+    // probing ALL cells must reproduce brute force exactly
+    val full = Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, 5,
+        nlist = 8, nprobe = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+  }
+
   test("ANN: LSH path returns valid neighbors with nonzero recall (seeded)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, 5)

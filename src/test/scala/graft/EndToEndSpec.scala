@@ -35,7 +35,7 @@ class EndToEndSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(q))
     // the disclaimed rows-only set is exactly the UDF/stub-bearing ops
     assert(q -- SparkEntry.oracleSql.keySet ==
-      Set("g1_split", "g3_chunk", "a4_merge", "ann_lsh", "mm_decode"))
+      Set("g1_split", "g3_chunk", "a4_merge", "ann_lsh", "ann_ivf", "mm_decode"))
   }
 
   test("stage registry composes to the same result as the hand-built pipeline") {
