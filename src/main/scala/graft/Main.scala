@@ -45,11 +45,25 @@ object Main {
   def run(spark: SparkSession, sfDir: String, warehouse: String,
       canon: Boolean): Long = {
     // stage 0: source snapshot (sha256 row invariant recorded as the
-    // downstream input fingerprint — BASELINE.json per-row invariant)
+    // downstream input fingerprint — BASELINE.json per-row invariant).
+    // Order-independent DISTRIBUTED digest: each row's sha256 is sliced
+    // into four 15-hex (60-bit) integers summed as DECIMAL(38,0) with
+    // map-side partial aggregation, then the four sums + the row count are
+    // hashed once. O(1) driver and aggregation-buffer memory at any corpus
+    // size — the previous collect_list of every row hash concentrated all
+    // N digests in ONE reducer (a ~64 TB string at 10^12 rows).
     val docs = Tables.docsDf(spark, sfDir)
-    val corpusFp = docs
-      .agg(sha2(concat_ws("", sort_array(collect_list(sha2(col("content"), 256)))), 256))
-      .collect()(0).getString(0)
+    val corpusFp = {
+      import org.apache.spark.sql.types.DecimalType
+      val rowHash = sha2(col("content"), 256)
+      val slices = (0 until 4).map(i =>
+        sum(conv(substring(rowHash, i * 16 + 1, 15), 16, 10)
+          .cast(DecimalType(38, 0))).cast("string").as(s"s$i"))
+      docs.agg(count(lit(1)).cast("string").as("n"), slices: _*)
+        .select(sha2(concat_ws("|",
+          col("n") +: (0 until 4).map(i => col(s"s$i")): _*), 256))
+        .collect()(0).getString(0)
+    }
 
     val docsCommitted = Manifest.runStage(spark, warehouse, "docs",
       Seq("repo", "lang"), corpusFp)(docs)

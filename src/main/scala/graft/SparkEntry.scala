@@ -126,12 +126,21 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id")),
 
     // ---- G1: sentence split + posexplode (sentsplitter.py:20-29) -------
-    // UDF-based (the allowed tokenizer UDF) => rows-only driver check.
+    // The oracle is a full DuckDB twin of the splitter generated from the
+    // same constants (Splitter.splitSqlDuck) — the boundary rules, abbrev
+    // set, and roman-numeral quirk are all cross-engine-checked, not just
+    // the row count.
     QuerySpec("g1_split",
       (s, dir) => Splitter.explodeSentences(Tables.docsDf(s, dir))
         .select("repo", "path", "sent_idx", "sentence")
         .orderBy("repo", "path", "sent_idx"),
-      None),
+      Some {
+        val rel = Splitter.splitSqlDuck(Seq("repo", "path"), "text",
+          "(SELECT source AS repo, 'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path, text " +
+            "FROM documents) d")
+        s"SELECT repo, path, sent_idx, sentence FROM $rel s " +
+          "ORDER BY repo, path, sent_idx"
+      }),
 
     // ---- G3: greedy re-chunking (ner.py:183-192, exact incl. overshoot) -
     QuerySpec("g3_chunk",
@@ -140,7 +149,10 @@ object SparkEntry {
           maxNoSplit = 200)
         .select("doc_id", "chunk_idx", "chunk")
         .orderBy("doc_id", "chunk_idx"),
-      None),
+      Some {
+        val rel = Chunker.chunkSqlDuck(Seq("doc_id"), "text", "documents", 200)
+        s"SELECT doc_id, chunk_idx, chunk FROM $rel ch ORDER BY doc_id, chunk_idx"
+      }),
 
     // ---- G4: deterministic tagger (modelServer.py:65-79 replacement) ----
     QuerySpec("g4_tag",
@@ -228,7 +240,7 @@ object SparkEntry {
           s"FROM $lab t GROUP BY doc_id ORDER BY doc_id"
       }),
 
-    // ---- A4: chunk-result merge (ner.py:196-203) — rows-only ------------
+    // ---- A4: chunk-result merge (ner.py:196-203) -------------------------
     QuerySpec("a4_merge",
       (s, dir) => {
         val chunked = Chunker.explodeChunks(
@@ -243,7 +255,16 @@ object SparkEntry {
             .as("entities"))
           .orderBy("doc_id", "label")
       },
-      None),
+      Some {
+        val chunkRel = Chunker.chunkSqlDuck(Seq("doc_id"), "text", "documents", 200)
+        val cl = s"(SELECT doc_id, ${Text.cleanupSqlDuck("chunk")} AS cleaned " +
+          s"FROM $chunkRel ch) cc"
+        val tag = Tagger.tagSqlDuck(Seq("doc_id"), "cleaned", cl)
+        s"SELECT doc_id, label, " +
+          "string_agg(DISTINCT mention, ',' ORDER BY mention) AS entities " +
+          s"FROM $tag t WHERE confidence >= $thr " +
+          "GROUP BY doc_id, label ORDER BY doc_id, label"
+      }),
 
     // ---- J1: cache lookup-or-compute as dedup + anti-join (ner.py:141-157)
     QuerySpec("j1_cache_dedup",
@@ -262,10 +283,14 @@ object SparkEntry {
         "GROUP BY k ORDER BY k")),
 
     // ---- J2: entity linking (north-star; broadcast dict + window pick) --
+    // Label-free on BOTH sides: the link winner is a function of
+    // (doc, mention) alone, so a mention that ever matched two patterns
+    // must not duplicate Spark rows while the oracle's row_number keeps one
+    // (tie-break robustness — the invariant survives pattern-set edits).
     QuerySpec("j2_link",
       (s, dir) => Linker.link(s,
           taggedMentions(s, dir).filter(col("confidence") >= thr)
-            .select("doc_id", "lang", "label", "mention", "confidence")
+            .select("doc_id", "lang", "mention")
             .distinct(),
           Seq("doc_id"))
         .select(col("doc_id"), col("mention"), col("entity_id"),
@@ -286,7 +311,7 @@ object SparkEntry {
       (s, dir) => {
         val linked = Linker.link(s,
           taggedMentions(s, dir).filter(col("confidence") >= thr)
-            .select("doc_id", "lang", "label", "mention", "confidence")
+            .select("doc_id", "lang", "mention")
             .distinct(),
           Seq("doc_id"))
         KgPipeline.canonMap(s, linked, Seq("doc_id")).orderBy("entity_id")
@@ -353,7 +378,7 @@ object SparkEntry {
           |  FROM n JOIN ${Tagger.aliasSqlDuck} d ON n.mention_norm = d.alias_norm
           |  WHERE length(n.mention_norm) > 0),
           |links AS (SELECT doc_id, lang, source, label, entity_id FROM (
-          |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention ORDER BY score DESC, entity_id) AS rn FROM cand) w
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention, label ORDER BY score DESC, entity_id) AS rn FROM cand) w
           |  WHERE rn = 1)
           |SELECT DISTINCT $subj AS subj, 'mentions:' || label AS pred, entity_id AS obj,
           |  source AS repo, lang
@@ -383,6 +408,10 @@ object SparkEntry {
       }),
 
     // ---- dedup: MinHash LSH banding -> candidate pairs -------------------
+    // groupBy-band + in-bucket pair expansion (ONE pass; a self-join would
+    // recompute the minhash projection per join side), with hot bands above
+    // Dedup.maxBucket excluded BEFORE the collect (count pre-pass) — the
+    // boilerplate-license defense; overflow surfaced by lshOverflowBands.
     QuerySpec("dedup_lsh_pairs",
       (s, dir) => {
         val sh = cleanedDocs(s, dir).select(col("doc_id"),
@@ -390,28 +419,16 @@ object SparkEntry {
             .as("dg"))
         val bands = sh.select(col("doc_id"),
           explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
-        // candidate pairs via groupBy-band + in-bucket pair expansion: ONE
-        // pass over the bands (a self-join would recompute the minhash
-        // projection once per join side) and the band bucket is the natural
-        // reducer at corpus scale — only colliding docs meet.
-        val pairs = bands
-          .groupBy("band")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) > 1)
-          .select(explode(flatten(transform(col("ds"), (x, i) =>
-            transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-              y => struct(x.as("da"), y.as("db")))))).as("p"))
-        pairs.groupBy(col("p.da").as("da"), col("p.db").as("db"))
-          .agg(count(lit(1)).as("n_bands"))
-          .orderBy("da", "db")
+        Dedup.lshCandidatePairs(bands).orderBy("da", "db")
       },
       Some {
         val sh = Dedup.shinglesSqlDuck("string_split(cleaned, ' ')")
         val keys = Dedup.bandKeysSqlDuck("sh").mkString("[", ", ", "]")
         s"""WITH s AS (SELECT doc_id, $sh AS sh FROM $cleanedRel c),
-          |bands AS (SELECT doc_id, unnest($keys) AS band FROM s)
+          |bands AS (SELECT doc_id, unnest($keys) AS band FROM s),
+          |capped AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band) <= ${Dedup.maxBucket})
           |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_bands
-          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+          |FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
 
@@ -430,17 +447,23 @@ object SparkEntry {
           "ORDER BY doc_id"
       }),
 
-    // ---- dedup: n-gram Jaccard over blocked pairs -------------------------
+    // ---- dedup: n-gram Jaccard, exact verify over LSH-blocked candidates --
+    // The block key is a CONTENT key (MinHash band), not a ~5-cardinality
+    // metadata key: candidate generation is linear in bucket sizes at any
+    // corpus scale, and the exact Jaccard only touches candidate pairs —
+    // the standard MinHash-candidate → exact-verify dedup pipeline.
     QuerySpec("dedup_jaccard",
       (s, dir) => {
-        val sh = cleanedDocs(s, dir)
-          .filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id"), col("lang"),
-            array_distinct(Dedup.shingles(Dedup.tokens(col("cleaned"))))
-              .as("sh"))
-        val a = sh.select(col("lang"), col("doc_id").as("da"), col("sh").as("sa"))
-        val b = sh.select(col("lang"), col("doc_id").as("db"), col("sh").as("sb"))
-        a.join(b, Seq("lang")).filter(col("da") < col("db"))
+        val base = cleanedDocs(s, dir)
+          .withColumn("sh_all", Dedup.shingles(Dedup.tokens(col("cleaned"))))
+          .select(col("doc_id"), array_distinct(col("sh_all")).as("sh"),
+            Dedup.shingleDigests(col("sh_all")).as("dg"))
+        val bands = base.select(col("doc_id"),
+          explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
+        val pairs = Dedup.lshCandidatePairs(bands).select("da", "db")
+        val sa = base.select(col("doc_id").as("da"), col("sh").as("sa"))
+        val sb = base.select(col("doc_id").as("db"), col("sh").as("sb"))
+        pairs.join(sa, "da").join(sb, "db")
           .select(col("da"), col("db"),
             round(Dedup.jaccard(col("sa"), col("sb")), 6).as("jac"))
           .filter(col("jac") >= 0.004)
@@ -448,41 +471,56 @@ object SparkEntry {
       },
       Some {
         val sh = Dedup.shinglesSqlDuck("string_split(cleaned, ' ')")
-        s"""WITH s AS (SELECT doc_id, lang, list_distinct($sh) AS sh FROM $cleanedRel c WHERE doc_id % 5 = 0)
+        val keys = Dedup.bandKeysSqlDuck("sh").mkString("[", ", ", "]")
+        s"""WITH s AS (SELECT doc_id, $sh AS sh FROM $cleanedRel c),
+          |bands AS (SELECT doc_id, unnest($keys) AS band FROM s),
+          |capped AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band) <= ${Dedup.maxBucket}),
+          |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          |  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
+          |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s)
           |SELECT da, db, jac FROM (
-          |  SELECT a.doc_id AS da, b.doc_id AS db,
-          |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-          |          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jac
-          |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+          |  SELECT da, db,
+          |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+          |          CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 6) AS jac
+          |  FROM pairs JOIN sets x ON x.doc_id = da JOIN sets y ON y.doc_id = db) p
           |WHERE jac >= 0.004 ORDER BY da, db""".stripMargin
       }),
 
     // ---- dedup: embedding-cosine near-duplicate pairs ----------------------
-    // blocked brute-force at oracle scale; the LSH-bucketed scale path is
-    // Similarity.lshTopK (rows-only ann_lsh + recall test)
+    // Candidates from sign-band LSH (axis-aligned hyperplanes — a CONTENT
+    // key computed map-side; band key is the only shuffle key), then exact
+    // cosine on candidate pairs only. Scale knob: buckets per band =
+    // 2^signBandDims (Similarity.scala).
     QuerySpec("dedup_embedding",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
           .filter(col("vec_id") % 4 === 0)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
-            col("label"))
-        val a = emb.select(col("label"), col("vec_id").as("va"), col("e").as("ea"))
-        val b = emb.select(col("label"), col("vec_id").as("vb"), col("e").as("eb"))
-        a.join(b, Seq("label")).filter(col("va") < col("vb"))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val bands = emb.select(col("vec_id"),
+          explode(Similarity.signBandKeys(col("e"))).as("band"))
+        val pairs = Dedup.lshCandidatePairs(bands, idCol = "vec_id")
+          .select(col("da").as("va"), col("db").as("vb"))
+        val ea = emb.select(col("vec_id").as("va"), col("e").as("ea"))
+        val eb = emb.select(col("vec_id").as("vb"), col("e").as("eb"))
+        pairs.join(ea, "va").join(eb, "vb")
           .select(col("va"), col("vb"),
             round(Similarity.cosine(col("ea"), col("eb")), 6).as("cos"))
           .filter(col("cos") >= 0.2)
           .orderBy("va", "vb")
       },
       Some {
-        val dot = Similarity.dotSqlDuck("a.e", "b.e")
-        val na = Similarity.dotSqlDuck("a.e", "a.e")
-        val nb = Similarity.dotSqlDuck("b.e", "b.e")
-        s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings WHERE vec_id % 4 = 0)
+        val keys = Similarity.signBandKeysSqlDuck("e").mkString("[", ", ", "]")
+        val dot = Similarity.dotSqlDuck("x.e", "y.e")
+        val na = Similarity.dotSqlDuck("x.e", "x.e")
+        val nb = Similarity.dotSqlDuck("y.e", "y.e")
+        s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 4 = 0),
+          |bands AS (SELECT vec_id, unnest($keys) AS band FROM emb),
+          |capped AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band) <= ${Dedup.maxBucket}),
+          |pairs AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          |  FROM capped a JOIN capped b ON a.band = b.band AND a.vec_id < b.vec_id)
           |SELECT va, vb, cos FROM (
-          |  SELECT a.vec_id AS va, b.vec_id AS vb,
-          |    round(($dot) / (sqrt($na) * sqrt($nb)), 6) AS cos
-          |  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id) p
+          |  SELECT va, vb, round(($dot) / (sqrt($na) * sqrt($nb)), 6) AS cos
+          |  FROM pairs JOIN emb x ON x.vec_id = va JOIN emb y ON y.vec_id = vb) p
           |WHERE cos >= 0.2 ORDER BY va, vb""".stripMargin
       }),
 

@@ -20,8 +20,14 @@ object Text {
 
   /** Explicit whitespace class shared by Java regex and RE2 so Spark and
     * DuckDB agree byte-for-byte (`\s` differs between the two engines).
+    * Covers exactly Python's `re.UNICODE` `\s` (the reference dialect,
+    * `sentsplitter.py:14` `re.sub('\s{2,}', ...)`): ASCII whitespace, the
+    * C1 file/group/record/unit separators, NEL, NBSP, and the Unicode
+    * space separators (U+1680, U+2000-200A, U+2028/2029, U+202F, U+205F,
+    * U+3000). `\x{...}` escapes parse identically in Java regex and RE2.
     */
-  private val WS = "[ \\t\\n\\x0B\\f\\r]"
+  private[graft] val WS = "[ \\t\\n\\x0B\\f\\r\\x{1C}-\\x{1F}\\x{85}\\x{A0}" +
+    "\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
 
   // ---- P1: cleanup (sentsplitter.py:10-18) -------------------------------
   // Order is load-bearing and faithful to the reference: newline -> space,
@@ -38,13 +44,17 @@ object Text {
 
   def cleanupScalar(s: String): String =
     s.replace("\n", " ")
-      .replaceAll("[ \\t\\n\\x0B\\f\\r]{2,}", " ")
+      .replaceAll(WS + "{2,}", " ")
       .replace("­", " ")
 
-  /** DuckDB fragment computing the same cleanup over column expr `col`. */
+  /** DuckDB fragment computing the same cleanup over column expr `col`.
+    * Generated from the same [[WS]] constant as the Spark plan — backslash
+    * escapes stay literal inside SQL single-quoted strings, so the RE2
+    * pattern DuckDB compiles is byte-identical to the Java one.
+    */
   def cleanupSqlDuck(col: String): String =
     s"regexp_replace(regexp_replace(regexp_replace($col, '\\n', ' ', 'g'), " +
-      s"'[ \\t\\n\\x0B\\f\\r]{2,}', ' ', 'g'), chr(173), ' ', 'g')"
+      s"'$WS{2,}', ' ', 'g'), chr(173), ' ', 'g')"
 
   // ---- P2: PUA codepoint strip (notebook cell 3, remove_pua_codes) -------
 

@@ -23,15 +23,32 @@ object Dedup {
   val numHashes = 8
   val numBands = 4 // rows-per-band = numHashes / numBands = 2
 
+  /** Cap on LSH bucket size for pair expansion. A hot band — near-empty
+    * docs, boilerplate licenses, which pretraining corpora hold in the
+    * millions — would otherwise collect one giant array in a single
+    * reducer and explode O(b²) pairs from one task. Buckets above the cap
+    * are EXCLUDED from pair expansion (their members are by construction
+    * ultra-common boilerplate, not informative near-duplicates) and
+    * surfaced via [[lshOverflowBands]] — never silently: callers log the
+    * overflow count.
+    */
+  val maxBucket = 64
+
   /** tokens column from cleaned text. */
   def tokens(c: Column): Column = split(c, " ")
 
-  /** k-word shingle array (k = [[shingleSize]]) from a token array. */
+  /** k-word shingle array (k = [[shingleSize]]) from a token array. Docs
+    * with fewer than k tokens yield the empty array — the `when` guard is
+    * load-bearing: `sequence(1, 0)` steps DOWNWARD in Spark ([1, 0]) and
+    * `element_at(toks, i + 2)` then throws on the out-of-range index.
+    */
   def shingles(toks: Column): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (shingleSize - 1), lit(0))),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    when(size(toks) >= shingleSize,
+      transform(
+        sequence(lit(1), size(toks) - (shingleSize - 1)),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(typedLit(Seq.empty[String]))
 
   /** DuckDB twin of [[shingles]] over a list expr. */
   def shinglesSqlDuck(toks: String): String =
@@ -99,6 +116,38 @@ object Dedup {
       s"'$b:' || sha256(concat_ws('|', ${parts.mkString(", ")}))"
     }
   }
+
+  /** Candidate pairs from an exploded (idCol, band) relation: bucket-
+    * grouped pair expansion with the [[maxBucket]] cap enforced BEFORE the
+    * collect — a count pre-pass filters hot bands so no aggregation buffer
+    * ever holds an over-cap bucket (filtering after `collect_list` would
+    * still materialize the million-element array). Both aggregations and
+    * the join share the band as shuffle key, so AQE coalesces them onto
+    * one exchange. Returns (da, db, n_bands) with da < db.
+    */
+  def lshCandidatePairs(bands: DataFrame, idCol: String = "doc_id",
+      maxBucketSize: Int = maxBucket): DataFrame = {
+    val small = bands.groupBy("band").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucketSize)
+      .select("band")
+    bands.join(small, Seq("band"))
+      .groupBy("band")
+      .agg(sort_array(collect_list(col(idCol))).as("ds"))
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("da"), y.as("db")))))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** The bands [[lshCandidatePairs]] skipped: (band, n) with n above the
+    * cap. Callers MUST surface this (log/metric) — capped-out buckets are
+    * a disclosed coverage bound, not silent truncation.
+    */
+  def lshOverflowBands(bands: DataFrame,
+      maxBucketSize: Int = maxBucket): DataFrame =
+    bands.groupBy("band").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
 
   // ---- SimHash (16-bit, token-multiplicity weighted) ----------------------
   // bit j of a token = parity of the (j+1)-th hex digit of sha256(token);

@@ -93,11 +93,15 @@ object Lemmatizer {
   def normalizeScalar(s: String): String =
     s.toLowerCase.split(" ").filterNot(articles.contains).mkString(" ")
 
-  /** DuckDB twin of [[normalizeMention]] over column expr `col`. */
+  /** DuckDB twin of [[normalizeMention]] over column expr `col`. The
+    * `coalesce` is load-bearing: `list_aggr(..., 'string_agg', ...)` over an
+    * empty list returns NULL where Spark's `array_join` returns '' — a
+    * pure-article mention would otherwise diverge across engines.
+    */
   def normalizeSqlDuck(col: String): String = {
     val arts = articles.map(a => s"'$a'").mkString(", ")
-    s"list_aggr(list_filter(string_split(lower($col), ' '), " +
-      s"t -> t NOT IN ($arts)), 'string_agg', ' ')"
+    s"coalesce(list_aggr(list_filter(string_split(lower($col), ' '), " +
+      s"t -> t NOT IN ($arts)), 'string_agg', ' '), '')"
   }
 
   /** Stage form: adds `mention_norm`, drops mentions that normalize to

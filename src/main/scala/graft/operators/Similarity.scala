@@ -50,6 +50,38 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rank"))
   }
 
+  // ---- sign-band blocking (embedding near-dup candidate generation) -------
+
+  /** Dims per sign-band and band count for [[signBandKeys]]. The scale
+    * knob: buckets per band = 2^signBandDims — raise dims-per-band (fewer,
+    * finer bands) as the corpus grows so bucket sizes stay bounded; the
+    * recall/bucket-size trade is the standard LSH banding curve.
+    */
+  val signBandDims = 4
+  val signBands = 16 // signBandDims * signBands = dim (64): full coverage
+
+  /** Content-derived blocking keys for embedding near-dup: band b's key is
+    * the sign pattern of dims [b*d, b*d+d) — axis-aligned random-hyperplane
+    * LSH. Computed map-side; the band key is the ONLY shuffle key, so
+    * near-dup candidate generation is linear in bucket sizes instead of
+    * quadratic in the corpus. Exact SQL twin: [[signBandKeysSqlDuck]].
+    */
+  def signBandKeys(e: Column): Column =
+    array((0 until signBands).map { b =>
+      concat_ws("", (lit(s"$b:") +: (0 until signBandDims).map { j =>
+        when(element_at(e, b * signBandDims + j + 1) > 0, lit("1"))
+          .otherwise(lit("0"))
+      }): _*)
+    }: _*)
+
+  def signBandKeysSqlDuck(e: String): Seq[String] =
+    (0 until signBands).map { b =>
+      val bits = (0 until signBandDims).map { j =>
+        s"(CASE WHEN $e[${b * signBandDims + j + 1}] > 0 THEN '1' ELSE '0' END)"
+      }
+      (s"'$b:'" +: bits).mkString(" || ")
+    }
+
   // ---- LSH path -----------------------------------------------------------
 
   val lshBits = 16

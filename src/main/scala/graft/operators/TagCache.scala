@@ -66,8 +66,12 @@ object TagCache {
     fresh.withColumn("ingest_ts", lit(ingestTs))
       .write.mode("append").parquet(cacheDir)
 
-    val results = cache.select(keyCol, "entities")
-      .unionByName(fresh.select(keyCol, "entities"))
+    // Join-back reads the COMMITTED snapshot (old cache ∪ fresh appends)
+    // instead of re-using `fresh`'s lineage — re-using it would re-execute
+    // the expensive tagger a second time for every miss, defeating the
+    // whole point of J1 (run the model once per distinct sentence,
+    // ner.py:141-157). The spec pins exactly-one tagger invocation per miss.
+    val results = readCache(spark, cacheDir).select(keyCol, "entities")
     withKey.join(results, Seq(keyCol), "left")
   }
 
@@ -91,12 +95,42 @@ object TagCache {
 
   /** O2 — retention: keep the most recent `keep` entries (reference keeps
     * the last 3M ndjson lines weekly, `ner-clean-cache.sh:9`). Ties broken
-    * by key for determinism. A global Top-K: fine for a metadata-sized
-    * cache table; for a 100 TB cache, switch the window to
-    * `partitionBy(prefix(k))` and keep K/prefixes per partition — the test
-    * pins both shapes.
+    * by key for determinism.
+    *
+    * This is the SCALE implementation (default path): exact global top-K
+    * with no global sort. Phase 1 aggregates the `ingest_ts` histogram —
+    * ingest stamps are batch identifiers, so distinct-stamp cardinality is
+    * tiny relative to row count — and a window over the histogram finds
+    * the cutoff stamp where the running count crosses `keep`. Phase 2
+    * keeps all rows newer than the cutoff and tie-breaks rows AT the
+    * cutoff stamp by key, windowing only the boundary-stamp rows. Result
+    * is row-identical to [[retentionGlobalWindow]] (pinned by spec).
+    * Degenerate worst case (every row shares one stamp) falls back to the
+    * global-window cost — unavoidable for an exact top-K with total ties.
     */
   def retention(cache: DataFrame, keep: Long): DataFrame = {
+    val hist = cache.groupBy("ingest_ts").count()
+      .withColumn("cum",
+        sum(col("count")).over(Window.orderBy(col("ingest_ts").desc)))
+      .withColumn("prev", col("cum") - col("count"))
+      .filter(col("prev") < keep)
+      .select(col("ingest_ts"), (lit(keep) - col("prev")).as("quota"),
+        col("count"))
+    val joined = cache.join(broadcast(hist), Seq("ingest_ts"))
+    val full = joined.filter(col("quota") >= col("count"))
+      .drop("quota", "count")
+    val wTie = Window.partitionBy(col("ingest_ts")).orderBy(col(keyCol))
+    val tied = joined.filter(col("quota") < col("count"))
+      .withColumn("rn", row_number().over(wTie))
+      .filter(col("rn") <= col("quota")).drop("rn", "quota", "count")
+    full.unionByName(tied)
+  }
+
+  /** The literal one-window formulation of [[retention]] — correct but
+    * single-reducer (every row sorts through one task); kept as the spec's
+    * equivalence oracle and for metadata-sized tables.
+    */
+  def retentionGlobalWindow(cache: DataFrame, keep: Long): DataFrame = {
     val w = Window.orderBy(col("ingest_ts").desc, col(keyCol))
     cache.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= keep).drop("rn")

@@ -55,7 +55,11 @@ object KgPipeline {
     val edges = a.join(b, keyCols)
       .filter(col("src") < col("dst"))
       .select("src", "dst").distinct()
-    ConnectedComponents.run(spark, edges)
+    // vertices from the LINK set, not the edge set: an entity linked in
+    // exactly one document with no co-occurring entity has no edge but must
+    // still appear in the canon map (as its own canonical id).
+    val verts = perDoc.select(col("entity_id")).distinct()
+    ConnectedComponents.run(spark, edges, vertices = Some(verts))
       .select(col("id").as("entity_id"), col("component").as("canon_id"))
   }
 

@@ -33,9 +33,9 @@ class EndToEndSpec extends AnyFunSuite {
   test("oracle SQL exists for every SQL-expressible query; names align") {
     val q = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(q))
-    // the disclaimed rows-only set is exactly the UDF/stub-bearing ops
+    // the disclaimed rows-only set (g1/g3/a4 gained full DuckDB twins in r2)
     assert(q -- SparkEntry.oracleSql.keySet ==
-      Set("g1_split", "g3_chunk", "a4_merge", "ann_lsh", "ann_ivf", "mm_decode"))
+      Set("ann_lsh", "ann_ivf", "mm_decode"))
   }
 
   test("stage registry composes to the same result as the hand-built pipeline") {
