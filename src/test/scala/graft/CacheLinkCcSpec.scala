@@ -53,6 +53,56 @@ class CacheLinkCcSpec extends AnyFunSuite {
     assert(spark.read.parquet(cacheDir).count() == nDistinct)
   }
 
+  test("J1: the tagger runs EXACTLY once per distinct miss (no double compute)") {
+    val acc = spark.sparkContext.longAccumulator("tagger-invocations")
+    val countingTagger: DataFrame => DataFrame = df =>
+      df.withColumn("entities",
+        udf { (s: String) => acc.add(1L); Tagger.tagScalar(s) }
+          .apply(col("sentence")))
+    val docs = Fixtures.docsDf(60)
+    val sentences = KgPipeline.sentences(docs)
+    val cacheDir = tmpDir("tagcount") + "/cache"
+    TagCache.tagThroughCache(spark, sentences, cacheDir, countingTagger).count()
+    val nDistinct = sentences.select("sentence").distinct().count()
+    assert(acc.value == nDistinct,
+      s"tagger ran ${acc.value} times for $nDistinct distinct misses — " +
+        "the join-back must read the committed cache, not re-run the lineage")
+  }
+
+  test("O2: histogram retention == global-window retention, incl. boundary-stamp ties") {
+    // 300 rows over 10 ingest stamps (30 rows each); keep=95 cuts stamp 7
+    // mid-way: 60 full rows (stamps 9,8) + 35 tie-broken rows at stamp 7.
+    val rows = (1 to 300).map(i => (f"k$i%04d", s"s$i",
+      Seq.empty[graft.model.Entity], (i % 10).toLong))
+      .toDF("k", "sentence", "entities", "ingest_ts")
+    val a = TagCache.retention(rows, 95)
+      .select("k", "ingest_ts").as[(String, Long)].collect().toSet
+    val b = TagCache.retentionGlobalWindow(rows, 95)
+      .select("k", "ingest_ts").as[(String, Long)].collect().toSet
+    assert(a == b && a.size == 95)
+  }
+
+  test("J3: chain of 4096 converges within 13 iterations (pointer doubling)") {
+    // one-hop propagation would need 4096 rounds; run() throws past maxIter,
+    // so succeeding at maxIter=13 IS the O(log d) evidence (log2 4096 = 12).
+    val chain = (0 until 4096).map(i => (f"c$i%05d", f"c${i + 1}%05d"))
+    val got = ConnectedComponents.run(spark, chain.toDF("src", "dst"),
+      maxIter = 13)
+    assert(got.filter(col("component") =!= "c00000").count() == 0L)
+  }
+
+  test("J3: isolated vertices survive canonMap (vertex set from links, not edges)") {
+    // E07 is linked in one doc with no co-occurring entity: no edge touches
+    // it, but the canon map must still carry it as its own canonical id.
+    val links = Seq(
+      ("d1", "E01"), ("d1", "E02"), // edge E01-E02
+      ("d2", "E07")                 // isolated
+    ).toDF("doc_id", "entity_id")
+    val got = KgPipeline.canonMap(spark, links, Seq("doc_id"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("E01" -> "E01", "E02" -> "E01", "E07" -> "E07"))
+  }
+
   test("O2: retention keeps exactly K most recent; partitioned variant covers all buckets") {
     val rows = (1 to 500).map(i => (f"k$i%04d", s"sent $i", Seq.empty[graft.model.Entity], i.toLong))
       .toDF("k", "sentence", "entities", "ingest_ts")

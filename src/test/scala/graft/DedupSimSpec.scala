@@ -41,6 +41,38 @@ class DedupSimSpec extends AnyFunSuite {
     assert((bands(1L) & bands(4L)).isEmpty, "unrelated doc must not collide")
   }
 
+  test("shingles: docs with < k tokens yield the empty array (no index crash)") {
+    // sequence(1, 0) steps DOWNWARD in Spark, so an unguarded transform
+    // would element_at past the end — pinned against the ADVICE repro.
+    val df = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "one two three"))
+      .toDF("doc_id", "t")
+      .select(col("doc_id"),
+        Dedup.shingles(Dedup.tokens(col("t"))).as("sh"))
+    val got = df.as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq.empty && got(2L) == Seq.empty && got(3L) == Seq.empty)
+    assert(got(4L) == Seq("one two three"))
+    // and the downstream signature/band path tolerates empty shingle sets
+    val sig = df.withColumn("dg", Dedup.shingleDigests(col("sh")))
+      .select(col("doc_id"), Dedup.signatureFromDigests(col("dg")).as("sig"),
+        Dedup.bandKeysFromDigests(col("dg")).as("bands"))
+      .as[(Long, String, Seq[String])].collect()
+    assert(sig.length == 4)
+  }
+
+  test("LSH pair expansion: hot band excluded by cap, surfaced as overflow") {
+    val hot = (1 to 200).map(i => (i.toLong, "hot"))
+    val small = Seq((900L, "b1"), (901L, "b1"), (902L, "b2"), (903L, "b2"),
+      (904L, "b2"))
+    val bands = (hot ++ small).toDF("doc_id", "band")
+    val pairs = Dedup.lshCandidatePairs(bands)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // only the small buckets expand: C(2,2)=1 pair + C(3,2)=3 pairs
+    assert(pairs == Set((900L, 901L), (902L, 903L), (902L, 904L), (903L, 904L)))
+    val overflow = Dedup.lshOverflowBands(bands)
+      .as[(String, Long)].collect().toSeq
+    assert(overflow == Seq(("hot", 200L)))
+  }
+
   test("simhash: identical equal; near-dup within small hamming distance; unrelated far") {
     val toks = Seq((1L, base), (2L, base), (3L, nearDup), (4L, other))
       .toDF("doc_id", "t")

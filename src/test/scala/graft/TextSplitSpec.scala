@@ -47,6 +47,17 @@ class TextSplitSpec extends AnyFunSuite {
     assert(Text.cleanupScalar("a­ b") == "a  b")
   }
 
+  test("P1 unicode whitespace: runs of NBSP/ideographic space collapse (re.UNICODE parity)") {
+    // the reference collapses with re.UNICODE \s; NBSP runs must collapse,
+    // a SINGLE exotic space survives (only runs of 2+ collapse).
+    val inputs = Seq("a  b", "a　　b", "a  b", "a b")
+    assert(Text.cleanupScalar(inputs(0)) == "a b")
+    assert(Text.cleanupScalar(inputs(1)) == "a b")
+    assert(Text.cleanupScalar(inputs(2)) == "a b")
+    assert(Text.cleanupScalar(inputs(3)) == "a b")
+    assert(columnTwin(Text.cleanup, inputs) == inputs.map(Text.cleanupScalar))
+  }
+
   test("P2 PUA strip: Column == scalar; BMP PUA removed") {
     val got = columnTwin(Text.puaStrip, nasty)
     assert(got == nasty.map(Text.puaStripScalar))
