@@ -162,6 +162,26 @@ object SparkEntry {
       Some(s"SELECT doc_id, label, confidence, mention FROM $taggedRel t " +
         "ORDER BY doc_id, label, mention")),
 
+    // ---- G4 (span-true): entity extraction WITH character spans ---------
+    // The reference emits start_pos/end_pos (modelServer.py:65-79); this
+    // checks the span-bearing UDF path against a DuckDB simulation of the
+    // Java-regex scan (candidate positions + recursive cursor walk).
+    QuerySpec("g4_spans",
+      (s, dir) => cleanedDocs(s, dir)
+        .select(col("doc_id"),
+          explode(Tagger.tagWithSpansUdf(s)(col("cleaned"))).as("e"))
+        .select(col("doc_id"), col("e.label").as("label"),
+          col("e.confidence").as("confidence"),
+          col("e.text").as("mention"),
+          col("e.begin").cast("long").as("begin_pos"),
+          col("e.end").cast("long").as("end_pos"))
+        .orderBy("doc_id", "begin_pos", "label", "mention"),
+      Some {
+        val rel = Tagger.tagSpansSqlDuck(Seq("doc_id"), "cleaned", s"$cleanedRel c")
+        s"SELECT doc_id, label, confidence, mention, begin_pos, end_pos " +
+          s"FROM $rel sp ORDER BY doc_id, begin_pos, label, mention"
+      }),
+
     // ---- G5: lemma/article-drop normalization (middlewareServer.py:90-131)
     QuerySpec("g5_lemma",
       (s, dir) => taggedMentions(s, dir)
@@ -186,6 +206,29 @@ object SparkEntry {
         "string_agg(DISTINCT mention, ',' ORDER BY mention) AS entities " +
         s"FROM $taggedRel t WHERE confidence >= $thr " +
         "GROUP BY doc_id, label ORDER BY doc_id, label")),
+
+    // ---- A1 (real shape): the reference's actual API result — a
+    // map<label, array<mention>> per doc (README.md:74) — serialized with
+    // sorted keys and sorted value arrays so the JSON string is
+    // deterministic; DuckDB builds the identical string by hand (same
+    // escaping: backslash, then quote).
+    QuerySpec("a1_entity_map_json",
+      (s, dir) => Middleware.entityMap(
+          taggedMentions(s, dir)
+            .select("doc_id", "label", "mention", "confidence"),
+          Seq("doc_id"))
+        .select(col("doc_id"), to_json(col("entity_map")).as("entity_map_json"))
+        .orderBy("doc_id"),
+      Some {
+        def esc(x: String) =
+          s"replace(replace($x, '\\', '\\\\'), '\"', '\\\"')"
+        s"""WITH f AS (SELECT DISTINCT doc_id, label, mention FROM $taggedRel t WHERE confidence >= $thr),
+          |g AS (SELECT doc_id, label,
+          |  string_agg('"' || ${esc("mention")} || '"', ',' ORDER BY mention) AS elems
+          |  FROM f GROUP BY doc_id, label)
+          |SELECT doc_id, '{' || string_agg('"' || ${esc("label")} || '":[' || elems || ']', ',' ORDER BY label) || '}' AS entity_map_json
+          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
 
     // ---- A2: sentiment aggregate (middleware.py:14-43) ------------------
     // Exact decimal sums (order-independent), cast to double at the end.
@@ -545,7 +588,8 @@ object SparkEntry {
       }),
 
     // ---- similarity: LSH-bucketed ANN (scale path; recall vs brute force
-    // asserted in tests) — rows-only for the driver ---------------------------
+    // asserted in tests; oracle = DuckDB twin with the same seeded
+    // hyperplane literals, signature packing, and multi-probe) ----------------
     QuerySpec("ann_lsh",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -553,10 +597,12 @@ object SparkEntry {
           .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos"))
           .orderBy("qid", "rank")
       },
-      None),
+      Some(s"SELECT qid, nid, rank, cos FROM " +
+        s"${Similarity.lshTopKSqlDuck("vec_id < 10", 3)} z ORDER BY qid, rank")),
 
     // ---- similarity: IVF ANN (cell-partitioned scale path; brute-force
-    // equivalence at full nprobe asserted in tests) — rows-only ---------------
+    // equivalence at full nprobe asserted in tests; oracle = DuckDB twin
+    // with the same seeded centroid literals and cell ranking) ----------------
     QuerySpec("ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -564,7 +610,8 @@ object SparkEntry {
           .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos"))
           .orderBy("qid", "rank")
       },
-      None),
+      Some(s"SELECT qid, nid, rank, cos FROM " +
+        s"${Similarity.ivfTopKSqlDuck("vec_id < 10", 3)} z ORDER BY qid, rank")),
 
     // ---- text analysis: language ID ----------------------------------------
     QuerySpec("lang_id",
@@ -615,12 +662,33 @@ object SparkEntry {
       Some("SELECT doc_id, octet_length(encode(text)) AS byte_len, " +
         "substr(text, 1, 8) AS header FROM documents ORDER BY doc_id")),
 
-    // ---- multimodal: stubbed decode via mapPartitions — rows-only ------------
+    // ---- multimodal: REAL codec decode via mapPartitions ---------------------
+    // Payloads are valid 24-bpp BMPs synthesized from sha256(text); Spark
+    // DECODES them with javax.imageio (per-partition reader init); the
+    // oracle PREDICTS byte length, header bytes, and dimensions from the
+    // same sha256 derivation — encoder or decoder format bugs diverge.
     QuerySpec("mm_decode",
       (s, dir) => Multimodal.decodeMeta(s,
-          Multimodal.withPayload(Tables.documents(s, dir)))
+          Multimodal.withBmpPayload(Tables.documents(s, dir)))
         .toDF().orderBy("doc_id"),
-      None),
+      Some {
+        val (w, h) = Multimodal.dimsSqlDuck("text")
+        def hexByte(e: String) =
+          s"substr('0123456789abcdef', ($e) // 16 + 1, 1) || " +
+            s"substr('0123456789abcdef', ($e) % 16 + 1, 1)"
+        // header: 'BM' + int32 file size (little-endian; fits in 3 bytes
+        // at these dims) + 2 reserved zero bytes = 8 bytes / 16 hex chars
+        val sizeLe = (0 until 3)
+          .map(k => hexByte(s"(byte_len // ${1 << (8 * k)}) % 256"))
+          .mkString(" || ")
+        s"""WITH d AS (SELECT doc_id, $w AS width, $h AS height FROM documents),
+          |f AS (SELECT doc_id, width, height,
+          |  54 + ((width * 3 + 3) // 4) * 4 * height AS byte_len FROM d)
+          |SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len,
+          |  '424d' || $sizeLe || '000000' AS header_hex,
+          |  width, height, 1 AS n_frames
+          |FROM f ORDER BY doc_id""".stripMargin
+      }),
 
     // ---- relational coverage: TPC-H-ish (bench headliners) -------------------
     QuerySpec("q1_pricing",

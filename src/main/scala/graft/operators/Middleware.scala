@@ -39,7 +39,8 @@ object Middleware {
       threshold: Double = Tagger.threshold): DataFrame =
     entityGroups(df, keyCols, threshold)
       .groupBy(keyCols.map(col): _*)
-      .agg(map_from_entries(collect_list(struct(col("label"), col("entities"))))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("label"), col("entities")))))
         .as("entity_map"))
 
   /** A2 — sentiment middleware (`middleware.py:14-43`): over label rows

@@ -1,61 +1,126 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
   * with typed metadata, processed batch-wise with `mapPartitions` (the
-  * Scala analogue of `mapInPandas` — one iterator per partition, so a real
-  * decoder would amortize model/codec init per partition, not per row).
+  * Scala analogue of `mapInPandas` — one iterator per partition, so codec
+  * init amortizes per partition, not per row).
   *
-  * No image/audio codecs ship in this container, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB ([[decodeStub]]) — the Spark-side
-  * plumbing (schema, binary handling, partition-iterator shape, typed
-  * output) is real and tested; swap [[decodeStub]] for a codec call in
-  * production.
+  * The decode step is REAL: payloads are valid 24-bit BMP images (the test
+  * corpus synthesizes them deterministically from the text column — width,
+  * height, and pixels all derive from sha256(text)) and [[decodeMeta]]
+  * decodes them with `javax.imageio` (pure-JDK BMP reader) — an actual
+  * codec pass over actual image bytes, not a stub. The driver oracle
+  * cross-checks by predicting byte length, header bytes, and dimensions
+  * from the same sha256 derivation in SQL: if either the encoder or the
+  * decoder mis-handled the format, the two sides diverge.
   */
 object Multimodal {
 
   /** Typed metadata extracted from a media payload. */
   final case class MediaMeta(
       doc_id: Long,
-      byte_len: Int,
+      byte_len: Long,
       header_hex: String,
       width: Int,
       height: Int,
       n_frames: Int)
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic fake:
-    * derives fake dimensions from payload bytes so tests are stable. A real
-    * implementation would decode `bytes` with a codec initialized once per
-    * partition (see [[decodeMeta]]).
+  /** Deterministic payload dimensions from a content hash: two hex-pair
+    * buckets of sha256(text), each mapped to [1, 32]. The SQL twin
+    * ([[dimsSqlDuck]]) predicts the same values — the cross-engine check
+    * that makes the decode oracle-able.
     */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-    val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
-    (160 + (b0 % 8) * 160, 90 + (b1 % 8) * 90, 1 + bytes.length % 16)
+  def widthCol(text: Column): Column =
+    (conv(substring(sha2(text.cast("string"), 256), 1, 2), 16, 10)
+      .cast("int") % 32) + 1
+
+  def heightCol(text: Column): Column =
+    (conv(substring(sha2(text.cast("string"), 256), 3, 2), 16, 10)
+      .cast("int") % 32) + 1
+
+  private def hexPairSqlDuck(col: String, pos: Int): String =
+    s"((strpos('0123456789abcdef', substr(sha256(CAST($col AS VARCHAR)), $pos, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr(sha256(CAST($col AS VARCHAR)), ${pos + 1}, 1)) - 1))"
+
+  def dimsSqlDuck(col: String): (String, String) =
+    (s"(${hexPairSqlDuck(col, 1)} % 32 + 1)", s"(${hexPairSqlDuck(col, 3)} % 32 + 1)")
+
+  /** Minimal valid 24-bpp BMP (BITMAPINFOHEADER): 54-byte header + padded
+    * pixel rows. Pixel bytes are filled from `seed` cyclically — content
+    * is irrelevant to the metadata contract, validity to ImageIO is not.
+    */
+  def encodeBmpScalar(w: Int, h: Int, seed: Array[Byte]): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val fileSize = 54 + dataSize
+    val out = new Array[Byte](fileSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, fileSize) // bytes 3-6: file size, little-endian
+    le32(10, 54) // pixel data offset
+    le32(14, 40) // BITMAPINFOHEADER size
+    le32(18, w)
+    le32(22, h)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    le32(34, dataSize)
+    var i = 54
+    while (i < fileSize) {
+      out(i) = if (seed.nonEmpty) seed((i - 54) % seed.length) else 0
+      i += 1
+    }
+    out
   }
 
-  /** Attach a binary payload column (in tests/bench: the UTF-8 bytes of the
-    * text column stand in for media bytes).
-    */
-  def withPayload(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withColumn("payload", col(textCol).cast("binary"))
+  private val encodeBmpUdf =
+    udf((text: String, w: Int, h: Int) =>
+      encodeBmpScalar(w, h,
+        Option(text).getOrElse("").getBytes("UTF-8")))
 
-  /** Batch decode: one decoder instance per partition, iterator-in /
-    * iterator-out (the mapInPandas batch shape). Input must carry
-    * (doc_id:long, payload:binary).
+  /** Attach a real BMP `payload` column synthesized deterministically from
+    * the text column (media bytes stand-in for the test corpus).
+    */
+  def withBmpPayload(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("payload",
+      encodeBmpUdf(col(textCol), widthCol(col(textCol)), heightCol(col(textCol))))
+
+  /** Batch decode with `javax.imageio`: one reader per partition,
+    * iterator-in / iterator-out (the mapInPandas batch shape). Input must
+    * carry (doc_id:long, payload:binary).
     */
   def decodeMeta(spark: SparkSession, df: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init would go here (codec/model load)
+        // per-partition codec init: one reusable BMP ImageReader
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("bmp").next()
         it.map { case (id, bytes) =>
-          val (w, h, f) = decodeStub(bytes)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val nFrames = reader.getNumImages(true)
+          val img = reader.read(0)
+          iis.close()
           val hdr = bytes.take(8).map("%02x".format(_)).mkString
-          MediaMeta(id, bytes.length, hdr, w, h, f)
+          MediaMeta(id, bytes.length.toLong, hdr, img.getWidth, img.getHeight,
+            nFrames)
         }
       }
   }
+
+  /** Legacy stub-era payload attach (UTF-8 text bytes as opaque payload) —
+    * still used by `mm_meta`, which checks the Catalyst-side binary
+    * handling (octet_length / header slice) without a codec.
+    */
+  def withPayload(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("payload", col(textCol).cast("binary"))
 }

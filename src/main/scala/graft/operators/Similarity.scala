@@ -137,6 +137,35 @@ object Similarity {
   private def bitwise_xor_long(a: Column, b: Column): Column =
     a.bitwiseXOR(b)
 
+  /** DOUBLE[] SQL literal. `Double.toString` is shortest-round-trip, so
+    * DuckDB parses back the bit-identical double — sign comparisons and
+    * ordered-fold dots then agree with Spark exactly.
+    */
+  private def vecLit(v: Array[Double]): String = v.mkString("[", ", ", "]")
+
+  /** DuckDB twin of [[lshTopK]] over the `embeddings` table: identical
+    * seeded hyperplanes as inline literals, identical signature packing,
+    * identical single-bit multi-probe, identical (cos desc, nid) ranking.
+    */
+  def lshTopKSqlDuck(probeWhere: String, k: Int, bits: Int = 8,
+      seed: Long = 42L): String = {
+    val hpLits = hyperplanes(seed, bits).map(vecLit).mkString("[", ", ", "]")
+    val flips = (0L +: (0 until bits).map(b => 1L << b)).mkString("[", ", ", "]")
+    s"""(WITH hp AS (SELECT unnest(range(0, $bits)) AS b, unnest(CAST($hpLits AS DOUBLE[][])) AS v),
+      |c0 AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+      |q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE $probeWhere),
+      |csig AS (SELECT nid, CAST(sum(CASE WHEN ${dotSqlDuck("ce", "v")} > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+      |  FROM c0 CROSS JOIN hp GROUP BY nid),
+      |qsig AS (SELECT qid, CAST(sum(CASE WHEN ${dotSqlDuck("qe", "v")} > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig0
+      |  FROM q0 CROSS JOIN hp GROUP BY qid),
+      |probes AS (SELECT qid, xor(sig0, CAST(f AS BIGINT)) AS sig FROM qsig, unnest($flips) u(f)),
+      |cand AS (SELECT DISTINCT p.qid, s.nid FROM probes p JOIN csig s ON s.sig = p.sig WHERE p.qid <> s.nid),
+      |scored AS (SELECT qid, nid, (${dotSqlDuck("qe", "ce")}) / (sqrt(${dotSqlDuck("qe", "qe")}) * sqrt(${dotSqlDuck("ce", "ce")})) AS cos
+      |  FROM cand JOIN q0 USING (qid) JOIN c0 USING (nid)),
+      |ranked AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM scored)
+      |SELECT qid, nid, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= $k)""".stripMargin
+  }
+
   // ---- IVF path ------------------------------------------------------------
 
   /** Deterministic seeded centroids (unit-normalized gaussians). In a real
@@ -161,6 +190,27 @@ object Similarity {
     * partition of the index); queries probe their `nprobe` nearest cells.
     * Exact cosine re-ranking inside the probed cells.
     */
+  /** DuckDB twin of [[ivfTopK]]: identical seeded centroids as literals;
+    * cell ranking mirrors Spark's `reverse(array_sort(struct(s, cell)))`
+    * exactly — score DESC, cell DESC on ties.
+    */
+  def ivfTopKSqlDuck(probeWhere: String, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, seed: Long = 7L): String = {
+    val centLits = centroids(nlist, seed).map(vecLit).mkString("[", ", ", "]")
+    s"""(WITH cents AS (SELECT unnest(range(0, $nlist)) AS cell, unnest(CAST($centLits AS DOUBLE[][])) AS cv),
+      |c0 AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+      |q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE $probeWhere),
+      |cscore AS (SELECT nid, cell, ${dotSqlDuck("ce", "cv")} AS s FROM c0 CROSS JOIN cents),
+      |cassign AS (SELECT nid, cell FROM cscore QUALIFY row_number() OVER (PARTITION BY nid ORDER BY s DESC, cell DESC) = 1),
+      |qscore AS (SELECT qid, cell, ${dotSqlDuck("qe", "cv")} AS s FROM q0 CROSS JOIN cents),
+      |qprobe AS (SELECT qid, cell FROM qscore QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, cell DESC) <= $nprobe),
+      |cand AS (SELECT qid, nid FROM qprobe JOIN cassign USING (cell) WHERE qid <> nid),
+      |scored AS (SELECT qid, nid, (${dotSqlDuck("qe", "ce")}) / (sqrt(${dotSqlDuck("qe", "qe")}) * sqrt(${dotSqlDuck("ce", "ce")})) AS cos
+      |  FROM cand JOIN q0 USING (qid) JOIN c0 USING (nid)),
+      |ranked AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM scored)
+      |SELECT qid, nid, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= $k)""".stripMargin
+  }
+
   def ivfTopK(probesDf: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
     val cents = centroids(nlist, seed)

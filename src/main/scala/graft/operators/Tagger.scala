@@ -153,6 +153,104 @@ object Tagger {
         s"FROM $from, unnest(regexp_extract_all($textExpr, '$pat', ${p.group})) u(m)"
     }.mkString("(", " UNION ALL ", ")")
 
+  // ---- Span oracle (DuckDB twin of the Java-regex scan, g4_spans) --------
+
+  /** One alternative of a pattern, normalized for the span oracle. The
+    * generator PARSES the shared [[patterns]] constants (it does not carry
+    * its own copy) and supports exactly the two shapes the pattern set
+    * uses — `\bLITERAL\b` / bare-literal alternations, and the
+    * `\b(LITERAL)\. [class]` context-group shape; anything else throws, so
+    * a pattern edit cannot silently desynchronize the oracle.
+    */
+  private final case class SpanAlt(label: String, confidence: Double,
+      pat: Int, alt: Int, literal: String, leftB: Boolean, rightB: Boolean,
+      suffixClass: Option[String], groupLen: Int, fullLen: Int)
+
+  private val wordChars: Set[Char] =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') :+ '_').toSet
+
+  private def spanAlts: Seq[SpanAlt] = patterns.zipWithIndex.flatMap {
+    case (p, pi) =>
+      val shapeB = """^\\b\(([^()\\]+)\)\\\. \[([^\]]+)\]$""".r
+      p.regex match {
+        case shapeB(lit, cls) =>
+          require(p.group == 1, s"shape-B pattern must capture group 1: ${p.regex}")
+          // full match consumes LITERAL + '. ' + one class char
+          Seq(SpanAlt(p.label, p.confidence, pi, 0, lit, leftB = true,
+            rightB = false, Some(cls), lit.length, lit.length + 3))
+        case rx =>
+          require(p.group == 0, s"unsupported span-oracle shape: $rx")
+          rx.split('|').toSeq.zipWithIndex.map { case (a, ai) =>
+            val leftB = a.startsWith("\\b")
+            val rightB = a.endsWith("\\b")
+            val lit = a.stripPrefix("\\b").stripSuffix("\\b")
+            require(lit.nonEmpty && !lit.exists("\\[](){}.*+?^$|".contains(_)),
+              s"non-literal alternative not supported by span oracle: $a")
+            require(!leftB || wordChars.contains(lit.head),
+              s"\\b before non-word char unsupported: $a")
+            require(!rightB || wordChars.contains(lit.last),
+              s"\\b after non-word char unsupported: $a")
+            SpanAlt(p.label, p.confidence, pi, ai, lit, leftB, rightB, None,
+              lit.length, lit.length)
+          }
+      }
+  }
+
+  /** DuckDB twin of [[tagScalar]] INCLUDING character spans, as a
+    * parenthesized relation
+    * `(keys..., label, confidence, mention, begin_pos, end_pos)`.
+    *
+    * Java's `Matcher.find` loop is simulated exactly: candidate matches
+    * are enumerated per (doc, pattern, position, alternative) with the
+    * \b word-boundary checks ([0-9A-Za-z_], the shared ASCII dialect),
+    * then a recursive CTE walks each (doc, pattern)'s candidates with the
+    * scan cursor — leftmost position wins, first alternative breaks ties,
+    * and the cursor jumps past the FULL match (so an overlapping later
+    * candidate is skipped, e.g. "window" inside "the window").
+    */
+  def tagSpansSqlDuck(keys: Seq[String], textExpr: String, from: String): String = {
+    val k = keys.mkString(", ")
+    val word = "[0-9A-Za-z_]"
+    val altSelects = spanAlts.map { a =>
+      val lit = a.literal.replace("'", "''")
+      val m = a.literal.length
+      val conds = Seq(s"substr(t, p, $m) = '$lit'") ++
+        (if (a.leftB)
+          Seq(s"(p = 1 OR NOT regexp_matches(substr(t, p - 1, 1), '^$word$$'))")
+        else Nil) ++
+        (if (a.rightB)
+          Seq(s"NOT regexp_matches(substr(t, p + $m, 1), '^$word$$')")
+        else Nil) ++
+        a.suffixClass.map(cls =>
+          s"substr(t, p + $m, 2) = '. ' AND " +
+            s"regexp_matches(substr(t, p + $m + 2, 1), '^[$cls]$$')").toSeq
+      s"SELECT $k, t, ${a.pat} AS pat, ${a.alt} AS alt, p, " +
+        s"${a.groupLen} AS glen, ${a.fullLen} AS flen, '${a.label}' AS label, " +
+        s"CAST(${a.confidence} AS DOUBLE) AS confidence " +
+        s"FROM span_docs, unnest(range(1, length(t) + 1)) u(p) " +
+        s"WHERE ${conds.mkString(" AND ")}"
+    }
+    def keyEq(x: String, y: String) =
+      keys.map(c => s"$x.$c = $y.$c").mkString(" AND ")
+    val kc = keys.map(c => s"c.$c").mkString(", ")
+    s"""(WITH RECURSIVE span_docs AS (SELECT $k, $textExpr AS t FROM $from),
+      |span_cand AS (${altSelects.mkString("\n  UNION ALL\n  ")}),
+      |span_walk AS (
+      |  SELECT $kc, c.t, c.pat, c.p, c.alt, c.glen, c.flen, c.label, c.confidence
+      |  FROM span_cand c
+      |  WHERE NOT EXISTS (SELECT 1 FROM span_cand c2 WHERE ${keyEq("c2", "c")}
+      |    AND c2.pat = c.pat AND (c2.p < c.p OR (c2.p = c.p AND c2.alt < c.alt)))
+      |  UNION ALL
+      |  SELECT $kc, c.t, c.pat, c.p, c.alt, c.glen, c.flen, c.label, c.confidence
+      |  FROM span_walk w JOIN span_cand c
+      |    ON ${keyEq("c", "w")} AND c.pat = w.pat AND c.p >= w.p + w.flen
+      |  WHERE NOT EXISTS (SELECT 1 FROM span_cand c2 WHERE ${keyEq("c2", "c")}
+      |    AND c2.pat = c.pat AND c2.p >= w.p + w.flen
+      |    AND (c2.p < c.p OR (c2.p = c.p AND c2.alt < c.alt))))
+      |SELECT $k, label, confidence, substr(t, p, glen) AS mention,
+      |  p - 1 AS begin_pos, p - 1 + glen AS end_pos FROM span_walk)""".stripMargin
+  }
+
   // ---- Reference-scalar tagger (row-by-row; P/R oracle, FIXTURES.md §2) --
 
   /** Per-row tagger with spans: finds every pattern occurrence in the

@@ -49,17 +49,30 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
-  test("multimodal: mapPartitions decode stub is deterministic with real schema") {
-    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
-    val got = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs))
+  test("multimodal: synthesized BMPs decode via javax.imageio to the derived dims") {
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = Multimodal.decodeMeta(spark, Multimodal.withBmpPayload(docs))
       .collect().sortBy(_.doc_id)
-    assert(got(0).byte_len == 11)
-    assert(got(0).header_hex == "68656c6c6f20776f") // "hello wo"
-    assert(got(1).byte_len == 0 && got(1).n_frames == 1)
-    // determinism: same input -> same fake dims
-    val again = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs))
+    val dims = docs.select(col("doc_id"),
+        Multimodal.widthCol(col("text")), Multimodal.heightCol(col("text")))
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    got.zip(dims).foreach { case (m, (_, w, h)) =>
+      assert(m.width == w && m.height == h, s"doc ${m.doc_id}")
+      assert(m.byte_len == 54L + ((w * 3 + 3) / 4) * 4 * h)
+      assert(m.header_hex.startsWith("424d")) // 'BM'
+      assert(m.n_frames == 1)
+    }
+    // determinism: same input -> same decode
+    val again = Multimodal.decodeMeta(spark, Multimodal.withBmpPayload(docs))
       .collect().sortBy(_.doc_id)
     assert(got.toSeq == again.toSeq)
+  }
+
+  test("multimodal: encodeBmpScalar bytes are a valid BMP for plain ImageIO.read") {
+    val bytes = Multimodal.encodeBmpScalar(17, 5, "seed".getBytes("UTF-8"))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 17 && img.getHeight == 5)
+    assert(bytes.length == 54 + ((17 * 3 + 3) / 4) * 4 * 5)
   }
 
   /** File streaming sources need a directory; stage the events parquet. */

@@ -33,9 +33,10 @@ class EndToEndSpec extends AnyFunSuite {
   test("oracle SQL exists for every SQL-expressible query; names align") {
     val q = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(q))
-    // the disclaimed rows-only set (g1/g3/a4 gained full DuckDB twins in r2)
-    assert(q -- SparkEntry.oracleSql.keySet ==
-      Set("ann_lsh", "ann_ivf", "mm_decode"))
+    // round 2: EVERY query is oracle-checked — g1/g3/a4 via the splitter/
+    // chunker SQL twins, ann_lsh/ann_ivf via seeded-literal twins,
+    // mm_decode via the BMP-metadata prediction.
+    assert(q -- SparkEntry.oracleSql.keySet == Set.empty[String])
   }
 
   test("stage registry composes to the same result as the hand-built pipeline") {
