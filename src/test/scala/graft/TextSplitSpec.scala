@@ -186,6 +186,31 @@ class TextSplitSpec extends AnyFunSuite {
     assert(Text.hexBucketSqlDuck("doc_id").nonEmpty)
   }
 
+  test("S5 xml ingest: bodytext extracted, location/em-source dropped, dept label, fasttext line") {
+    import graft.sources.XmlCorpus
+    val article =
+      """<item><category scope="cms-article"/><corpus>
+        |<p class="bodytext"><location>HAMBURG taz |</location>Der erste Absatz.</p>
+        |<p class="bodytext">Zweiter Absatz <em class="source">dpa</em> geht weiter.</p>
+        |</corpus><related rel="department"><directory><meta>
+        |<id scope="url">p4616</id></meta></directory></related></item>""".stripMargin
+    val nonArticle = """<item><category scope="ad"/><corpus><p class="bodytext">x</p></corpus></item>"""
+    val noDept = """<item><category scope="cms-article"/><corpus><p class="bodytext">y</p></corpus></item>"""
+    val df = Seq((1L, article), (2L, nonArticle), (3L, noDept)).toDF("doc_id", "xml")
+    val got = graft.sources.XmlCorpus.articles(df)
+      .select("doc_id", "department", "content")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L), "non-articles and dept-less rows dropped")
+    assert(got.head._2 == "p4616")
+    // location + source text excluded; whitespace collapsed by cleanup
+    assert(got.head._3.contains("Der erste Absatz."))
+    assert(got.head._3.contains("Zweiter Absatz") && got.head._3.contains("geht weiter."))
+    assert(!got.head._3.contains("HAMBURG") && !got.head._3.contains("dpa"))
+    val line = XmlCorpus.fasttextLine(
+      graft.sources.XmlCorpus.articles(df)).as[String].collect().head
+    assert(line.startsWith("__label__p4616 ") && line.contains("Der erste Absatz."))
+  }
+
   test("G3 chunk: short text passes through whole (ner.py:181,204)") {
     val df = Seq((1L, "short text. stays whole.")).toDF("doc_id", "content")
     val out = Chunker.explodeChunks(df, maxNoSplit = 500)
