@@ -439,9 +439,7 @@ object SparkEntry {
 
     // ---- dedup: MinHash signatures ---------------------------------------
     QuerySpec("dedup_minhash",
-      (s, dir) => cleanedDocs(s, dir)
-        .withColumn("dg",
-          Dedup.shingleDigests(Dedup.shingles(Dedup.tokens(col("cleaned")))))
+      (s, dir) => Dedup.withShingleDigests(cleanedDocs(s, dir), "cleaned")
         .select(col("doc_id"), Dedup.signatureFromDigests(col("dg")).as("sig"))
         .orderBy("doc_id"),
       Some {
@@ -457,9 +455,7 @@ object SparkEntry {
     // boilerplate-license defense; overflow surfaced by lshOverflowBands.
     QuerySpec("dedup_lsh_pairs",
       (s, dir) => {
-        val sh = cleanedDocs(s, dir).select(col("doc_id"),
-          Dedup.shingleDigests(Dedup.shingles(Dedup.tokens(col("cleaned"))))
-            .as("dg"))
+        val sh = Dedup.withShingleDigests(cleanedDocs(s, dir), "cleaned")
         val bands = sh.select(col("doc_id"),
           explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
         Dedup.lshCandidatePairs(bands).orderBy("da", "db")
@@ -497,10 +493,8 @@ object SparkEntry {
     // the standard MinHash-candidate → exact-verify dedup pipeline.
     QuerySpec("dedup_jaccard",
       (s, dir) => {
-        val base = cleanedDocs(s, dir)
-          .withColumn("sh_all", Dedup.shingles(Dedup.tokens(col("cleaned"))))
-          .select(col("doc_id"), array_distinct(col("sh_all")).as("sh"),
-            Dedup.shingleDigests(col("sh_all")).as("dg"))
+        val base = Dedup.withShingleDigests(cleanedDocs(s, dir), "cleaned",
+          shingleSetCol = Some("sh"))
         val bands = base.select(col("doc_id"),
           explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
         val pairs = Dedup.lshCandidatePairs(bands).select("da", "db")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -36,6 +37,33 @@ object Dedup {
 
   /** tokens column from cleaned text. */
   def tokens(c: Column): Column = split(c, " ")
+
+  /** Evaluate `f` with `c` bound to a lambda variable, forcing `c` to be
+    * computed ONCE per row. Without this, Catalyst re-evaluates a repeated
+    * subexpression inside every higher-order-function lambda invocation —
+    * `element_at(split(text), i)` re-splits the whole string per shingle
+    * element, O(tokens²) work (measured 6× on the sf0.1 digest pass).
+    */
+  def bound(c: Column, f: Column => Column): Column =
+    element_at(transform(array(c), x => f(x)), 1)
+
+  /** df + shingle-digest column `dg` (and optionally the distinct shingle
+    * set) with the token array MATERIALIZED in its own projection — it is
+    * referenced multiple times, so CollapseProject keeps it as a bound
+    * attribute instead of inlining the split into the shingle lambdas
+    * (the 6× trap above). This is the canonical entry for every
+    * MinHash-family query.
+    */
+  def withShingleDigests(df: DataFrame, textCol: String,
+      shingleSetCol: Option[String] = None): DataFrame = {
+    val base = df.withColumn("toks__", tokens(col(textCol)))
+      .withColumn("sh__", shingles(col("toks__")))
+    val withSet = shingleSetCol
+      .map(c => base.withColumn(c, array_distinct(col("sh__"))))
+      .getOrElse(base)
+    withSet.withColumn("dg", shingleDigests(col("sh__")))
+      .drop("toks__", "sh__")
+  }
 
   /** k-word shingle array (k = [[shingleSize]]) from a token array. Docs
     * with fewer than k tokens yield the empty array — the `when` guard is
@@ -119,18 +147,21 @@ object Dedup {
 
   /** Candidate pairs from an exploded (idCol, band) relation: bucket-
     * grouped pair expansion with the [[maxBucket]] cap enforced BEFORE the
-    * collect — a count pre-pass filters hot bands so no aggregation buffer
-    * ever holds an over-cap bucket (filtering after `collect_list` would
-    * still materialize the million-element array). Both aggregations and
-    * the join share the band as shuffle key, so AQE coalesces them onto
-    * one exchange. Returns (da, db, n_bands) with da < db.
+    * collect, via a count window over the band partition — ONE scan of the
+    * (expensive) band lineage and ONE exchange: the window's hash-
+    * partitioning on `band` is reused by the following groupBy. Filtering
+    * after `collect_list` would materialize a hot band's million-element
+    * array in one aggregation buffer; the window buffers the same rows but
+    * SPILLS, and the array is only built for under-cap buckets. (A count
+    * pre-pass + self-join also works but scans the band lineage twice —
+    * measured 2× slower with sha256-bearing lineage.) Returns
+    * (da, db, n_bands) with da < db.
     */
   def lshCandidatePairs(bands: DataFrame, idCol: String = "doc_id",
       maxBucketSize: Int = maxBucket): DataFrame = {
-    val small = bands.groupBy("band").agg(count(lit(1)).as("bn"))
+    val w = Window.partitionBy(col("band"))
+    bands.withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") > 1 && col("bn") <= maxBucketSize)
-      .select("band")
-    bands.join(small, Seq("band"))
       .groupBy("band")
       .agg(sort_array(collect_list(col(idCol))).as("ds"))
       .select(explode(flatten(transform(col("ds"), (x, i) =>

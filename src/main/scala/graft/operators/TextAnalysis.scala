@@ -116,8 +116,10 @@ object TextAnalysis {
     * key at scale.
     */
   def fingerprint(text: Column): Column =
-    array_min(transform(Dedup.shingles(Dedup.tokens(text)),
-      s => sha2(s, 256)))
+    // bind the token array once per row — inlining the split into the
+    // shingle lambdas re-splits the string per element (Dedup.bound doc)
+    Dedup.bound(Dedup.tokens(text), toks =>
+      array_min(transform(Dedup.shingles(toks), s => sha2(s, 256))))
 
   def fingerprintSqlDuck(text: String): String = {
     val sh = Dedup.shinglesSqlDuck(s"string_split($text, ' ')")
