@@ -168,9 +168,10 @@ object Similarity {
 
   // ---- IVF path ------------------------------------------------------------
 
-  /** Deterministic seeded centroids (unit-normalized gaussians). In a real
-    * deployment these come from a k-means pass persisted with the index;
-    * here the seed IS the index definition, so builds are reproducible.
+  /** Deterministic seeded centroids (unit-normalized gaussians) — the
+    * k-means INIT, and the centroid set the oracle-checked `ann_ivf` query
+    * pins (the seed is part of the index definition, so builds are
+    * reproducible). [[trainCentroids]] is the real index-build pass.
     */
   def centroids(nlist: Int, seed: Long = 7L, d: Int = dim): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -180,6 +181,49 @@ object Similarity {
       v.map(_ / n)
     }
   }
+
+  /** Deterministic distributed Lloyd's k-means over the corpus embeddings —
+    * the IVF index-build pass. Seeded init ([[centroids]]), fixed iteration
+    * count, and DECIMAL(28,12) per-dimension sums so the result is
+    * bit-stable across partitionings and re-runs (double addition is not
+    * associative; resumability demands run-independent centroids). Each
+    * iteration is one map-side assignment + one 2·d-aggregate groupBy over
+    * nlist cells; only the (nlist × d) centroid matrix ever reaches the
+    * driver. Empty cells keep their previous centroid.
+    */
+  def trainCentroids(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
+      seed: Long = 7L, d: Int = dim): Array[Array[Double]] = {
+    import org.apache.spark.sql.types.DecimalType
+    var cents = centroids(nlist, seed, d)
+    val emb = corpus.select(col("embedding").cast("array<double>").as("e"))
+    (1 to iters).foreach { _ =>
+      val cell = cents.zipWithIndex.map { case (c, i) =>
+        struct(dot(col("e"), typedLit(c.toSeq)).as("s"), lit(i).as("cell"))
+      }.reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+      val sums = (0 until d).map(i =>
+        sum(element_at(col("e"), i + 1).cast(DecimalType(28, 12))).as(s"s$i"))
+      val rows = emb.withColumn("cell", cell.getField("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      rows.foreach { r =>
+        val ci = r.getAs[Int]("cell")
+        val n = r.getAs[Long]("n")
+        if (n > 0) {
+          val mean = (0 until d).map(i =>
+            (r.getAs[java.math.BigDecimal](s"s$i").doubleValue() / n)).toArray
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          cents(ci) = if (norm > 0) mean.map(_ / norm) else cents(ci)
+        }
+      }
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] with externally supplied (e.g. trained) centroids. */
+  def ivfTopKWith(cents: Array[Array[Double]])(probesDf: DataFrame,
+      corpus: DataFrame, k: Int, nprobe: Int): DataFrame =
+    ivfTopKImpl(probesDf, corpus, k, cents, nprobe)
 
   /** Scores against every centroid as an array column (ordered folds). */
   private def centroidScores(v: Column, cents: Array[Array[Double]]): Column =
@@ -212,8 +256,12 @@ object Similarity {
   }
 
   def ivfTopK(probesDf: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
-    val cents = centroids(nlist, seed)
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame =
+    ivfTopKImpl(probesDf, corpus, k, centroids(nlist, seed), nprobe)
+
+  private def ivfTopKImpl(probesDf: DataFrame, corpus: DataFrame, k: Int,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val nlist = cents.length
     def rankedCells(v: Column): Column = {
       val scored = zip_with(
         centroidScores(v, cents),

@@ -132,6 +132,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(full == brute)
   }
 
+  test("ANN: IVF k-means training — partition-invariant (decimal sums); full-probe ≡ brute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c1 = Similarity.trainCentroids(emb.repartition(7), nlist = 8, iters = 3)
+    val c2 = Similarity.trainCentroids(emb.repartition(3), nlist = 8, iters = 3)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "index build must be bit-stable across partitionings (resumability)")
+    val probes = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(probes, emb, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfTopKWith(c1)(probes, emb, 5, nprobe = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(full == brute, "probing every trained cell must reproduce brute force")
+    val part = Similarity.ivfTopKWith(c1)(probes, emb, 5, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (part & brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"trained-centroid recall=$recall")
+  }
+
   test("ANN: LSH path returns valid neighbors with nonzero recall (seeded)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, 5)
