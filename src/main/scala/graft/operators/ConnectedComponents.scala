@@ -61,8 +61,10 @@ object ConnectedComponents {
         .groupBy(col("dst").as("id"))
         .agg(min(col("cand")).as("nbr_min"))
 
+      // `old` rides along so the convergence check below needs no extra
+      // join (a per-iteration shuffle of both label sets otherwise).
       val hopped = labels.join(withNbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
 
@@ -72,15 +74,15 @@ object ConnectedComponents {
       val parents = hopped
         .select(col("id").as("component"), col("component").as("gp"))
       val next = hopped.join(parents, Seq("component"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("component"), coalesce(col("gp"), col("component")))
             .as("component"))
         .localCheckpoint(true)
 
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
+      val changed = next.filter(col("component") =!= col("old"))
+        .limit(1).count()
       converged = changed == 0L
-      labels = next
+      labels = next.drop("old")
       iter += 1
     }
     if (!converged)
