@@ -523,6 +523,53 @@ object SparkEntry {
           |WHERE jac >= 0.004 ORDER BY da, db""".stripMargin
       }),
 
+    // ---- dedup: end-to-end clustering — LSH candidates → exact-Jaccard
+    // verify → connected components → one keeper per near-dup cluster.
+    // This is the full production dedup pipeline composed from the pieces
+    // above; at scale every stage keeps its bucketed/bounded shape and the
+    // CC runs over the (tiny) verified-pair edge set, not the corpus.
+    // Doc ids are zero-padded for the CC's string min so the canonical
+    // keeper is the NUMERIC minimum, matching the SQL twin's min().
+    QuerySpec("dedup_clusters",
+      (s, dir) => {
+        val base = Dedup.withShingleDigests(cleanedDocs(s, dir), "cleaned",
+          shingleSetCol = Some("sh"))
+        val bands = base.select(col("doc_id"),
+          explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
+        val pairs = Dedup.lshCandidatePairs(bands).select("da", "db")
+        val sa = base.select(col("doc_id").as("da"), col("sh").as("sa"))
+        val sb = base.select(col("doc_id").as("db"), col("sh").as("sb"))
+        val pad = (c: Column) => lpad(c.cast("string"), 10, "0")
+        val verified = pairs.join(sa, "da").join(sb, "db")
+          .filter(round(Dedup.jaccard(col("sa"), col("sb")), 6) >= 0.5)
+          .select(pad(col("da")).as("src"), pad(col("db")).as("dst"))
+        ConnectedComponents.run(s, verified)
+          .select(col("id").cast("long").as("doc_id"),
+            col("component").cast("long").as("keeper"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = Dedup.shinglesSqlDuck("string_split(cleaned, ' ')")
+        val keys = Dedup.bandKeysSqlDuck("sh").mkString("[", ", ", "]")
+        s"""WITH RECURSIVE s AS (SELECT doc_id, $sh AS sh FROM $cleanedRel c),
+          |bands AS (SELECT doc_id, unnest($keys) AS band FROM s),
+          |capped AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band) <= ${Dedup.maxBucket}),
+          |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          |  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
+          |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+          |ver AS (SELECT da, db FROM (
+          |  SELECT da, db,
+          |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+          |          CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 6) AS jac
+          |  FROM pairs JOIN sets x ON x.doc_id = da JOIN sets y ON y.doc_id = db) p
+          |  WHERE jac >= 0.5),
+          |edges AS (SELECT da AS src, db AS dst FROM ver UNION SELECT db, da FROM ver),
+          |nodes AS (SELECT DISTINCT src AS nd FROM edges),
+          |reach(nd, lbl) AS (SELECT nd, nd FROM nodes
+          |  UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.nd)
+          |SELECT nd AS doc_id, min(lbl) AS keeper FROM reach GROUP BY nd ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- dedup: embedding-cosine near-duplicate pairs ----------------------
     // Candidates from sign-band LSH (axis-aligned hyperplanes — a CONTENT
     // key computed map-side; band key is the only shuffle key), then exact

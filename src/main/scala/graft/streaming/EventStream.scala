@@ -48,6 +48,18 @@ object EventStream {
         ()
       }
 
+  /** Streaming exact dedup — the J1 cache semantics as a stream: state =
+    * content keys seen so far (the dropDuplicates state store), output =
+    * first occurrence of each key only. State is unbounded without an
+    * event-time watermark; a production deployment adds
+    * `.withWatermark(tsCol, horizon)` so keys expire with the dedup
+    * horizon (the reference's 3M-entry weekly retention is exactly such a
+    * horizon, ner-clean-cache.sh:9).
+    */
+  def dedupDocs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("k", graft.functions.Text.sha256Hex(col(textCol)))
+      .dropDuplicates("k")
+
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom per-key state via mapGroupsWithState: running event count and

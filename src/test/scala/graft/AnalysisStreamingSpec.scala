@@ -106,6 +106,30 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming: exact dedup emits one row per distinct content key") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val d = java.nio.file.Files.createTempDirectory("docs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("a.parquet"))
+    // second file repeats the same docs: a pure-duplicate micro-batch
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("b.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+    val q = EventStream.dedupDocs(stream)
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_docs").count()
+    val batchDistinct = spark.read.parquet(s"$dir/documents.parquet")
+      .select(sha2(col("text"), 256)).distinct().count()
+    assert(streamed == batchDistinct,
+      "the duplicate micro-batch must be fully suppressed by dedup state")
+  }
+
   test("streaming: mapGroupsWithState running totals match batch counts") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
