@@ -34,7 +34,24 @@ object DumpSplitGoldens {
     (1 to 12).map(i => s"Satz nummer $i ist hier.").mkString(" "),
     (1 to 12).map(i => s"satz nummer $i bleibt klein.").mkString(" "),
     " " * 250,
-    "Elisabeth II. war hier. elisabeth II. blieb dort.")
+    "Elisabeth II. war hier. elisabeth II. blieb dort.") ++ randomTexts
+
+  /** 150 seeded random texts over a vocabulary engineered to hit every
+    * boundary rule: abbreviations, roman ordinals, punctuation runs,
+    * quotes, digits, umlauts, soft hyphens, tabs, missing spaces.
+    */
+  def randomTexts: Seq[String] = {
+    val rnd = new scala.util.Random(20260816L)
+    val words = Seq(
+      "Der", "hund", "lief.", "Weit!", "II.", "IV.", "Dr.", "Nr.", "z.B.",
+      "\"Zitat\"", "Ende?", "was?!", "Käse.", "über", "9.", "Uhr", "a­b.",
+      "x\ty", "„Titel.“", "MCMX.", "...", ".", "kein.split", "GROSS.",
+      "«quote»", "'tick'", "1984.", "e.g.", "(klammer).", "a,b.")
+    (1 to 150).map { _ =>
+      Seq.fill(1 + rnd.nextInt(18))(words(rnd.nextInt(words.length)))
+        .mkString(" ")
+    }
+  }
 
   def jsonStr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
