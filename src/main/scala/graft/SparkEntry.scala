@@ -731,6 +731,19 @@ object SparkEntry {
           |FROM f ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- multimodal: REAL audio decode (javax.sound over synthesized WAV) ----
+    QuerySpec("mm_audio",
+      (s, dir) => Multimodal.decodeAudioMeta(s,
+          Multimodal.withWavPayload(Tables.documents(s, dir)))
+        .toDF().orderBy("doc_id"),
+      Some {
+        val (rate, ch, fr) = Multimodal.audioDimsSqlDuck("text")
+        s"""WITH a AS (SELECT doc_id, $rate AS sample_rate, $ch AS channels, $fr AS n_frames FROM documents)
+          |SELECT doc_id, CAST(44 + n_frames * channels * 2 AS BIGINT) AS byte_len,
+          |  sample_rate, channels, CAST(n_frames AS BIGINT) AS n_frames
+          |FROM a ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- relational coverage: TPC-H-ish (bench headliners) -------------------
     QuerySpec("q1_pricing",
       (s, dir) => Tables.lineitem(s, dir)

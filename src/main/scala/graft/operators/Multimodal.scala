@@ -123,4 +123,93 @@ object Multimodal {
     */
   def withPayload(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("payload", col(textCol).cast("binary"))
+
+  // ---- audio (WAV / javax.sound.sampled) -----------------------------------
+
+  final case class AudioMeta(
+      doc_id: Long,
+      byte_len: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long)
+
+  val wavRates: Seq[Int] = Seq(8000, 16000, 22050, 44100)
+
+  private def hexPair(text: Column, pos: Int): Column =
+    conv(substring(sha2(text.cast("string"), 256), pos, 2), 16, 10).cast("int")
+
+  def sampleRateCol(text: Column): Column =
+    element_at(typedLit(wavRates), (hexPair(text, 5) % wavRates.length) + 1)
+
+  def channelsCol(text: Column): Column = (hexPair(text, 7) % 2) + 1
+
+  def framesCol(text: Column): Column = (hexPair(text, 9) % 400) + 100
+
+  /** SQL twins of the three audio-dim derivations (DuckDB). */
+  def audioDimsSqlDuck(col: String): (String, String, String) = {
+    val rateCases = wavRates.zipWithIndex
+      .map { case (r, i) => s"WHEN ${hexPairSqlDuck(col, 5)} % ${wavRates.length} = $i THEN $r" }
+      .mkString("CASE ", " ", " END")
+    (rateCases,
+      s"(${hexPairSqlDuck(col, 7)} % 2 + 1)",
+      s"(${hexPairSqlDuck(col, 9)} % 400 + 100)")
+  }
+
+  /** Minimal valid 16-bit PCM WAV (44-byte RIFF header + frames). Sample
+    * bytes fill from `seed` cyclically — content irrelevant to the
+    * metadata contract, validity to javax.sound is not.
+    */
+  def encodeWavScalar(rate: Int, channels: Int, frames: Int,
+      seed: Array[Byte]): Array[Byte] = {
+    val dataSize = frames * channels * 2
+    val out = new Array[Byte](44 + dataSize)
+    def ascii(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => out(off + i) = b }
+    def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def le16(off: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    ascii(0, "RIFF"); le32(4, 36 + dataSize); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1) // PCM
+    le16(22, channels); le32(24, rate)
+    le32(28, rate * channels * 2) // byte rate
+    le16(32, channels * 2) // block align
+    le16(34, 16) // bits per sample
+    ascii(36, "data"); le32(40, dataSize)
+    (0 until dataSize).foreach(i =>
+      out(44 + i) = if (seed.nonEmpty) seed(i % seed.length) else 0)
+    out
+  }
+
+  private val encodeWavUdf =
+    udf((text: String, rate: Int, ch: Int, frames: Int) =>
+      encodeWavScalar(rate, ch, frames,
+        Option(text).getOrElse("").getBytes("UTF-8")))
+
+  /** Attach a real WAV `payload` column synthesized deterministically from
+    * the text column.
+    */
+  def withWavPayload(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("payload", encodeWavUdf(col(textCol),
+      sampleRateCol(col(textCol)), channelsCol(col(textCol)),
+      framesCol(col(textCol))))
+
+  /** Batch audio decode with `javax.sound.sampled` (pure-JDK WAV reader):
+    * iterator-in / iterator-out per partition.
+    */
+  def decodeAudioMeta(spark: SparkSession, df: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val meta = AudioMeta(id, bytes.length.toLong,
+            fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength)
+          ais.close()
+          meta
+        }
+      }
+  }
 }

@@ -68,6 +68,21 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("multimodal: synthesized WAVs decode via javax.sound to the derived params") {
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "audio")).toDF("doc_id", "text")
+    val got = Multimodal.decodeAudioMeta(spark, Multimodal.withWavPayload(docs))
+      .collect().sortBy(_.doc_id)
+    val dims = docs.select(col("doc_id"), Multimodal.sampleRateCol(col("text")),
+        Multimodal.channelsCol(col("text")), Multimodal.framesCol(col("text")))
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    got.zip(dims).foreach { case (m, (_, rate, ch, fr)) =>
+      assert(m.sample_rate == rate && m.channels == ch && m.n_frames == fr,
+        s"doc ${m.doc_id}")
+      assert(m.byte_len == 44L + fr.toLong * ch * 2)
+    }
+    assert(dims.map(_._2).forall(Multimodal.wavRates.contains))
+  }
+
   test("multimodal: encodeBmpScalar bytes are a valid BMP for plain ImageIO.read") {
     val bytes = Multimodal.encodeBmpScalar(17, 5, "seed".getBytes("UTF-8"))
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
