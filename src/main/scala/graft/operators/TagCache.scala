@@ -75,6 +75,29 @@ object TagCache {
     withKey.join(results, Seq(keyCol), "left")
   }
 
+  /** Bucketed persistence for the cache table — the CO-LOCATED-JOIN scale
+    * path: `bucketBy(buckets, k)` + in-bucket sort means every J1 join-back
+    * against the cache reads the cache side pre-partitioned and pre-sorted
+    * on the key; only the (smaller, per-batch) probe side shuffles. At the
+    * reference's 3M-entry retention — or a multi-billion-row production
+    * cache — this removes the larger of J1's two shuffles from every run.
+    * (Parquet bucketed tables need the session catalog; plain-path parquet
+    * cannot carry bucket metadata.)
+    */
+  def writeBucketedCache(df: DataFrame, table: String,
+      buckets: Int = 16): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+
+  /** Join `withKey` (carrying [[keyCol]]) against a bucketed cache table:
+    * the cache side contributes NO exchange (asserted by spec).
+    */
+  def joinBucketedCache(spark: SparkSession, withKey: DataFrame,
+      table: String): DataFrame =
+    withKey.join(spark.table(table).select(keyCol, "entities"),
+      Seq(keyCol), "left")
+
   /** S2 — import the reference's on-disk cache format: one ndjson line per
     * entry, `{"<sentence>": {"<LABEL>": ["<text>", ...], ...}}`
     * (`cacheServer.py:25-39` load, example lines at README.md:78-80).

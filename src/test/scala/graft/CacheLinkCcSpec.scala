@@ -115,6 +115,42 @@ class CacheLinkCcSpec extends AnyFunSuite {
     assert(perBucket.forall(_._2 <= 3))
   }
 
+  test("J1 bucketed cache: join-back shuffles only the probe side; results identical") {
+    val docs = Fixtures.docsDf(80)
+    val sentences = KgPipeline.sentences(docs)
+    val withKey = TagCache.keyed(sentences)
+    val cacheRows = tagger(withKey.select("k", "sentence").dropDuplicates("k"))
+      .select(col("k"), col("sentence"), col("entities"))
+      .withColumn("ingest_ts", lit(0L))
+    TagCache.writeBucketedCache(cacheRows, "tag_cache_bucketed", buckets = 8)
+
+    // at test scale the planner rightly broadcasts the tiny cache; disable
+    // broadcast to surface the shuffle structure a production-sized cache
+    // would see — the bucketed (cache) side must be exchange-free: bucket
+    // layout IS the partitioning, so only the probe side shuffles
+    val joined = TagCache.joinBucketedCache(spark, withKey, "tag_cache_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = TagCache.joinBucketedCache(spark, withKey, "tag_cache_bucketed")
+      val plan = big.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"expected at most the probe-side exchange, got:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"cache side must scan bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // row-identical to the plain-path join
+    val viaPath = withKey.join(
+        cacheRows.select("k", "entities"), Seq("k"), "left")
+      .select(col("repo"), col("path"), col("sent_idx"), size(col("entities")))
+      .as[(String, String, Int, Int)].collect().sorted.toSeq
+    val viaBucket = joined
+      .select(col("repo"), col("path"), col("sent_idx"), size(col("entities")))
+      .as[(String, String, Int, Int)].collect().sorted.toSeq
+    assert(viaBucket == viaPath)
+  }
+
   test("J2: ambiguous alias resolved by lang bonus, then entity_id tiebreak") {
     // 'merge' -> E04 (prior .60, en) vs E05 (prior .55, de):
     // en doc: E04 (.60+.20=.80 vs .55) ; de doc: E05 (.55+.20=.75 vs .60)
