@@ -228,16 +228,18 @@ object Chunker {
   val chunkUdf = udf((sentences: Seq[String]) => chunkScalar(sentences))
 
   /** Stage: Doc df -> one row per chunk. Short texts (<= maxNoSplit) pass
-    * through whole, mirroring `ner.py:181,204` (len check). The inner
-    * split uses the codegen'd [[graft.expressions.SplitSentences]]
-    * expression (same scalar), not the UDF — one encoder round-trip per
-    * row instead of two.
+    * through whole, mirroring `ner.py:181,204` (len check). Both the inner
+    * split and the greedy re-pack are codegen'd native expressions
+    * ([[graft.expressions.SplitSentences]] /
+    * [[graft.expressions.ChunkSentences]]) — no UDF encoder round-trips on
+    * the nosplit path.
     */
   def explodeChunks(df: DataFrame, contentCol: String = "content",
       maxNoSplit: Int = defaultMaxNoSplit): DataFrame = {
     val chunks = when(length(col(contentCol)) <= maxNoSplit, array(col(contentCol)))
-      .otherwise(chunkUdf(
-        graft.expressions.SplitSentences.split_sentences(col(contentCol))))
+      .otherwise(graft.expressions.ChunkSentences.chunk_sentences(
+        graft.expressions.SplitSentences.split_sentences(col(contentCol)),
+        lit(maxNoSplit)))
     df.select(col("*"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
       .drop(contentCol)
   }

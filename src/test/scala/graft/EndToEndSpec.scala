@@ -39,6 +39,26 @@ class EndToEndSpec extends AnyFunSuite {
     assert(q -- SparkEntry.oracleSql.keySet == Set.empty[String])
   }
 
+  test("SparkSessionExtensions: graft.GraftExtensions exposes the native SQL functions") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      // reuses the existing SparkContext; extensions bind at construction
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val text = "Der Satz eins ist hier. Der Satz zwei auch. Ende."
+      val out = s2.sql(
+        s"SELECT chunk_sentences(split_sentences('$text'), 30) AS c")
+        .collect().head.getSeq[String](0)
+      assert(out == graft.operators.Chunker.chunkScalar(
+        graft.operators.Splitter.splitScalar(text), 30))
+    } finally {
+      SparkSession.setDefaultSession(base); SparkSession.setActiveSession(base)
+    }
+  }
+
   test("stage registry composes to the same result as the hand-built pipeline") {
     import graft.pipeline.Stage
     val docs = Tables.docsDf(spark, dir)
