@@ -39,6 +39,28 @@ object Main {
     spark.stop()
   }
 
+  /** Order-independent distributed corpus fingerprint — the resumability
+    * keystone (stage inputs are re-validated against it on resume). Each
+    * row's sha256 is sliced into four 15-hex (60-bit) integers summed as
+    * DECIMAL(38,0) with map-side partial aggregation; the four sums + the
+    * row count are hashed once. Properties pinned by spec: invariant under
+    * partitioning/row order (decimal sums are exact and commutative);
+    * sensitive to any single-row content change; O(1) driver and
+    * aggregation-buffer memory at any corpus size (the round-1 version
+    * collect_list'ed every row hash into ONE reducer).
+    */
+  def corpusFingerprint(docs: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.types.DecimalType
+    val rowHash = sha2(col("content"), 256)
+    val slices = (0 until 4).map(i =>
+      sum(conv(substring(rowHash, i * 16 + 1, 15), 16, 10)
+        .cast(DecimalType(38, 0))).cast("string").as(s"s$i"))
+    docs.agg(count(lit(1)).cast("string").as("n"), slices: _*)
+      .select(sha2(concat_ws("|",
+        col("n") +: (0 until 4).map(i => col(s"s$i")): _*), 256))
+      .collect()(0).getString(0)
+  }
+
   /** The resumable staged pipeline (separated from main so tests can drive
     * it on a shared session). Returns the triple count.
     */
@@ -53,17 +75,7 @@ object Main {
     // size — the previous collect_list of every row hash concentrated all
     // N digests in ONE reducer (a ~64 TB string at 10^12 rows).
     val docs = Tables.docsDf(spark, sfDir)
-    val corpusFp = {
-      import org.apache.spark.sql.types.DecimalType
-      val rowHash = sha2(col("content"), 256)
-      val slices = (0 until 4).map(i =>
-        sum(conv(substring(rowHash, i * 16 + 1, 15), 16, 10)
-          .cast(DecimalType(38, 0))).cast("string").as(s"s$i"))
-      docs.agg(count(lit(1)).cast("string").as("n"), slices: _*)
-        .select(sha2(concat_ws("|",
-          col("n") +: (0 until 4).map(i => col(s"s$i")): _*), 256))
-        .collect()(0).getString(0)
-    }
+    val corpusFp = Main.corpusFingerprint(docs)
 
     val docsCommitted = Manifest.runStage(spark, warehouse, "docs",
       Seq("repo", "lang"), corpusFp)(docs)

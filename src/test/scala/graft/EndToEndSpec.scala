@@ -39,6 +39,22 @@ class EndToEndSpec extends AnyFunSuite {
     assert(q -- SparkEntry.oracleSql.keySet == Set.empty[String])
   }
 
+  test("corpus fingerprint: partition/order invariant, content-sensitive, distributed") {
+    val docs = Fixtures.docsDf(120)
+    val fp1 = graft.Main.corpusFingerprint(docs.repartition(7))
+    val fp2 = graft.Main.corpusFingerprint(
+      docs.repartition(3).orderBy(col("path").desc))
+    assert(fp1 == fp2, "fingerprint must not depend on partitioning or row order")
+    val mutated = docs.withColumn("content",
+      when(col("path") === docs.select("path").first().getString(0),
+        concat(col("content"), lit("x"))).otherwise(col("content")))
+    assert(graft.Main.corpusFingerprint(mutated) != fp1,
+      "a single-row content change must change the fingerprint")
+    val dropped = docs.limit(119)
+    assert(graft.Main.corpusFingerprint(dropped) != fp1,
+      "row count folds into the fingerprint")
+  }
+
   test("SparkSessionExtensions: graft.GraftExtensions exposes the native SQL functions") {
     import org.apache.spark.sql.SparkSession
     val base = spark
