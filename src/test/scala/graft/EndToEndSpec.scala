@@ -164,6 +164,17 @@ class EndToEndSpec extends AnyFunSuite {
     assert(t.head.obj == "E02" && t.head.pred == "mentions:ORG")
     val sents = KgPipeline.sentences(weird).count()
     assert(sents == 2) // only the punct-only and 'spark' rows yield sentences
+
+    // chunker: null content drops (posexplode of null — the oracle's
+    // length(NULL) filter agrees); a long all-whitespace text packs the
+    // reference's [""] into one empty chunk
+    val chunks = graft.operators.Chunker.explodeChunks(weird, maxNoSplit = 4)
+      .select("path", "chunk_idx", "chunk")
+      .as[(String, Int, String)].collect().toSeq
+    assert(!chunks.exists(_._1 == "p0"), "null content yields no chunk rows")
+    assert(chunks.filter(_._1 == "p2") == Seq(("p2", 0, "")),
+      "sentence-less long text packs to one empty chunk (parts=[\"\"])")
+    assert(chunks.exists(c => c._1 == "p1" && c._3 == ""))
   }
 
   test("sentence-level pipeline == doc-level pipeline on the driver corpus") {
