@@ -73,11 +73,14 @@ object ConnectedComponents {
       // `left` + coalesce guards the (impossible) miss anyway.
       val parents = hopped
         .select(col("id").as("component"), col("component").as("gp"))
+      // LAZY checkpoint: the convergence count right below materializes it,
+      // so each iteration runs ONE job (an eager checkpoint would run two —
+      // measured as the dominant cost of toy-scale canonicalization).
       val next = hopped.join(parents, Seq("component"), "left")
         .select(col("id"), col("old"),
           least(col("component"), coalesce(col("gp"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       val changed = next.filter(col("component") =!= col("old"))
         .limit(1).count()
