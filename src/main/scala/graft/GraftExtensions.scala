@@ -19,6 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expressions.SplitSentences(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("cleanup_text"),
+      new ExpressionInfo(classOf[graft.expressions.CleanupText].getName,
+        "cleanup_text"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.CleanupText(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("chunk_sentences"),
       new ExpressionInfo(classOf[graft.expressions.ChunkSentences].getName,
         "chunk_sentences"),

@@ -29,20 +29,80 @@ object Text {
   private[graft] val WS = "[ \\t\\n\\x0B\\f\\r\\x{1C}-\\x{1F}\\x{85}\\x{A0}" +
     "\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
 
+  /** Exact char membership of [[WS]] (a spec asserts the two agree on the
+    * whole BMP, so the regex literal and the set cannot drift apart).
+    */
+  private[graft] val wsChars: Set[Char] =
+    Set(' ', '\t', '\n', 0x0B.toChar, '\f', '\r', 0x85.toChar, 0xA0.toChar,
+      0x1680.toChar, 0x2028.toChar, 0x2029.toChar, 0x202F.toChar,
+      0x205F.toChar, 0x3000.toChar) ++
+      (0x1C.toChar to 0x1F.toChar) ++ (0x2000.toChar to 0x200A.toChar)
+
+  private val wsBits: java.util.BitSet = {
+    val b = new java.util.BitSet(0x3001)
+    wsChars.foreach(c => b.set(c.toInt))
+    b
+  }
+
+  @inline private def isWs(c: Char): Boolean = c <= 0x3000 && wsBits.get(c)
+
   // ---- P1: cleanup (sentsplitter.py:10-18) -------------------------------
   // Order is load-bearing and faithful to the reference: newline -> space,
   // THEN collapse runs of whitespace, THEN soft-hyphen (U+00AD) -> space.
   // (A soft hyphen followed by a space therefore leaves two spaces, exactly
   // as the reference does.)
 
+  /** Engine path: the fused single-pass native expression
+    * ([[graft.expressions.CleanupText]] → [[cleanupScalar]]); cleanup reads
+    * every byte of the corpus, so the three chained regex scans of
+    * [[cleanupColRegex]] are pure overhead at 10^12-file scale.
+    */
   def cleanup(c: Column): Column =
+    graft.expressions.CleanupText.cleanup_text(c)
+
+  /** The literal three-pass regexp_replace chain, shape-identical to the
+    * reference's re.sub sequence — kept as the parity twin the specs check
+    * [[cleanup]]/[[cleanupScalar]] against.
+    */
+  private[graft] def cleanupColRegex(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(c, "\\n", " "),
         WS + "{2,}", " "),
       "­", " ")
 
-  def cleanupScalar(s: String): String =
+  /** Single pass over the string, semantics byte-identical to the ordered
+    * three-pass chain (randomized parity spec vs [[cleanupScalarRegex]]):
+    * a whitespace RUN (≥2 chars, '\n' counts — it maps to ' ' first)
+    * collapses to one ' '; a LONE whitespace char survives as itself
+    * ('\n' as ' '); soft hyphens become spaces per char AFTER the collapse
+    * decision (they are not whitespace, so they break runs — the pinned
+    * non-idempotence quirk).
+    */
+  def cleanupScalar(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) {
+        var j = i + 1
+        while (j < n && isWs(s.charAt(j))) j += 1
+        if (j - i >= 2) sb.append(' ')
+        else sb.append(if (c == '\n') ' ' else c)
+        i = j
+      } else {
+        sb.append(if (c == '­') ' ' else c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Reference-shaped twin of [[cleanupScalar]] (literally the three
+    * re.sub passes of `sentsplitter.py:10-18`); spec-only.
+    */
+  private[graft] def cleanupScalarRegex(s: String): String =
     s.replace("\n", " ")
       .replaceAll(WS + "{2,}", " ")
       .replace("­", " ")

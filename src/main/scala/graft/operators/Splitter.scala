@@ -55,12 +55,24 @@ object Splitter {
     (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ ".äöüÄÖÜß").toSet
   private[graft] val tokenKeepRe2: String = "[A-Za-z0-9.äöüÄÖÜß]"
 
-  private def trimWs(s: String): String = {
+  // Bit-set twins of the char classes for the per-char hot loop (Set[Char]
+  // boxes on every `contains`); derived from the sets above — single source
+  // of truth preserved.
+  private def bits(cs: Set[Char]): java.util.BitSet = {
+    val b = new java.util.BitSet(cs.map(_.toInt).max + 1)
+    cs.foreach(c => b.set(c.toInt))
+    b
+  }
+  private val sepBits = bits(sepChars)
+  private val tokenKeepBits = bits(tokenKeepChars)
+  private val boundaryStartBits = bits(boundaryStartChars)
+
+  private def trimWs(cs: CharSequence): String = {
     var a = 0
-    var b = s.length
-    while (a < b && sepChars.contains(s.charAt(a))) a += 1
-    while (b > a && sepChars.contains(s.charAt(b - 1))) b -= 1
-    s.substring(a, b)
+    var b = cs.length
+    while (a < b && sepBits.get(cs.charAt(a))) a += 1
+    while (b > a && sepBits.get(cs.charAt(b - 1))) b -= 1
+    cs.subSequence(a, b).toString
   }
 
   /** punkt treats ordinal roman numerals as sentence-final: "Elisabeth II."
@@ -79,7 +91,7 @@ object Splitter {
     if (raw == null) return Seq.empty
     val text = Text.cleanupScalar(raw)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
+    val cur = new java.lang.StringBuilder
     var i = 0
     val n = text.length
     while (i < n) {
@@ -90,30 +102,39 @@ object Splitter {
         while (i + 1 < n && (text.charAt(i + 1) == '.' || text.charAt(i + 1) == '!' || text.charAt(i + 1) == '?')) {
           i += 1; cur.append(text.charAt(i))
         }
-        val next = if (i + 1 < n) Some(text.charAt(i + 1)) else None
-        val after = text.drop(i + 1).dropWhile(_ == ' ')
-        val startsNew = after.headOption.exists(boundaryStartChars.contains)
-        val endTok = lastToken(cur.toString.dropRight(1))
-        val boundary = next.forall(_ == ' ') &&
+        val hasNext = i + 1 < n
+        // first char after the (space-skipped) gap — index scan, no copy of
+        // the string tail (`text.drop` here was O(n) per punctuation run)
+        var j = i + 1
+        while (j < n && text.charAt(j) == ' ') j += 1
+        val startsNew = j < n && boundaryStartBits.get(text.charAt(j))
+        val endTok = lastToken(cur, cur.length - 1)
+        val boundary = (!hasNext || text.charAt(i + 1) == ' ') &&
           (startsNew || isRoman(endTok)) && !isAbbrev(endTok)
-        if (boundary || next.isEmpty) {
-          val s = Text.cleanupScalar(trimWs(cur.toString))
+        if (boundary || !hasNext) {
+          val s = Text.cleanupScalar(trimWs(cur))
           if (s.nonEmpty) out += s
-          cur.clear()
+          cur.setLength(0)
           // skip the single separating space (cleanup collapsed runs)
           if (i + 1 < n && text.charAt(i + 1) == ' ') i += 1
         }
       }
       i += 1
     }
-    val tail = Text.cleanupScalar(trimWs(cur.toString))
+    val tail = Text.cleanupScalar(trimWs(cur))
     if (tail.nonEmpty) out += tail
     out.toSeq
   }
 
-  private def lastToken(s: String): String = {
-    val t = s.reverse.takeWhile(c => !sepChars.contains(c)).reverse
-    t.dropWhile(c => !tokenKeepChars.contains(c))
+  /** Last token of `cs[0, end)`: the trailing non-separator run, stripped of
+    * leading non-token chars — scan-only twin of the original
+    * `s.reverse.takeWhile(!sep).reverse.dropWhile(!tokenKeep)`.
+    */
+  private def lastToken(cs: CharSequence, end: Int): String = {
+    var a = end
+    while (a > 0 && !sepBits.get(cs.charAt(a - 1))) a -= 1
+    while (a < end && !tokenKeepBits.get(cs.charAt(a))) a += 1
+    cs.subSequence(a, end).toString
   }
 
   /** Naive fallback splitter: break after every sentence-final punctuation

@@ -18,10 +18,16 @@ import graft.operators._
   */
 object KgPipeline {
 
-  /** Stage 1-2: cleanup + sentence explode (order preserved via sent_idx). */
+  /** Stage 1-2: sentence explode (order preserved via sent_idx). Cleanup
+    * happens INSIDE the splitter, exactly once over the raw text plus once
+    * per emitted sentence — the reference shape (`ner.py:171` hands raw
+    * text to `sentsplitter.py:22-29`, which cleans internally; there is no
+    * pre-clean). A pre-clean here would both diverge (cleanup is
+    * non-idempotent on soft-hyphen runs) and cost an extra full pass over
+    * the corpus.
+    */
   def sentences(docs: DataFrame): DataFrame =
-    Splitter.explodeSentences(
-      docs.withColumn("content", Text.cleanup(col("content"))))
+    Splitter.explodeSentences(docs)
 
   /** Mention tagging over sentences, Catalyst-only (no spans). */
   def sentenceMentions(docs: DataFrame): DataFrame =

@@ -42,6 +42,41 @@ class TextSplitSpec extends AnyFunSuite {
     assert(withHyphen == "a  b" && Text.cleanupScalar(withHyphen) == "a b")
   }
 
+  test("P1 wsChars set == WS regex class on every BMP codepoint") {
+    // the fused single-pass cleanup decides membership via wsChars; the
+    // regex twins (Java + the generated DuckDB fragment) via the WS class
+    // literal — assert they can never drift apart.
+    val p = java.util.regex.Pattern.compile(Text.WS)
+    (0 until 0x10000).filterNot(c => c >= 0xD800 && c <= 0xDFFF).foreach { c =>
+      val isMatch = p.matcher(String.valueOf(c.toChar)).matches()
+      assert(isMatch == Text.wsChars.contains(c.toChar),
+        f"WS/wsChars disagree at U+$c%04X")
+    }
+  }
+
+  test("P1 fused single-pass cleanup == reference regex chain (randomized, full WS alphabet)") {
+    val rnd = new scala.util.Random(11)
+    val alphabet: IndexedSeq[Char] =
+      Text.wsChars.toIndexedSeq ++ "ab.­x|!" ++ Seq('­', '\n', ' ', ' ')
+    (1 to 2000).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(Text.cleanupScalar(s) == Text.cleanupScalarRegex(s),
+        s"fused != regex on ${s.map(_.toInt).mkString(",")}")
+    }
+  }
+
+  test("P1 native cleanup_text expression == regex-chain Column, incl. SQL registration") {
+    val rnd = new scala.util.Random(13)
+    val alphabet: IndexedSeq[Char] =
+      Text.wsChars.toIndexedSeq ++ "ab.­x|!" :+ '­'
+    val inputs = nasty ++ (1 to 200).map(_ =>
+      Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    assert(columnTwin(Text.cleanup, inputs) == columnTwin(Text.cleanupColRegex, inputs))
+    graft.expressions.CleanupText.register(spark)
+    val viaSql = inputs.toDF("t").selectExpr("cleanup_text(t)").as[String].collect().toSeq
+    assert(viaSql == inputs.map(Text.cleanupScalar))
+  }
+
   test("P1 faithful quirk: soft hyphen AFTER collapse leaves double space") {
     // sentsplitter.py:10-18 order: \n, then \s{2,}, then U+00AD
     assert(Text.cleanupScalar("a­ b") == "a  b")
