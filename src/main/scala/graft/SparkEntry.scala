@@ -422,10 +422,11 @@ object SparkEntry {
           |  WHERE length(n.mention_norm) > 0),
           |links AS (SELECT doc_id, lang, source, label, entity_id FROM (
           |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention, label ORDER BY score DESC, entity_id) AS rn FROM cand) w
-          |  WHERE rn = 1)
-          |SELECT DISTINCT $subj AS subj, 'mentions:' || label AS pred, entity_id AS obj,
+          |  WHERE rn = 1),
+          |dedup AS (SELECT DISTINCT doc_id, lang, source, label, entity_id FROM links)
+          |SELECT $subj AS subj, 'mentions:' || label AS pred, entity_id AS obj,
           |  source AS repo, lang
-          |FROM links ORDER BY subj, pred, obj""".stripMargin
+          |FROM dedup ORDER BY subj, pred, obj""".stripMargin
       }),
 
     // ---- dedup: exact (hash-groupBy) -------------------------------------

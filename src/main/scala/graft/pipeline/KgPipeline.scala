@@ -83,13 +83,20 @@ object KgPipeline {
         linked.join(broadcast(cm), Seq("entity_id"), "left")
           .withColumn("obj", coalesce(col("canon_id"), col("entity_id")))
       } else linked.withColumn("obj", col("entity_id"))
-    resolved.select(
+    // Dedup on the NARROW key columns first, then project the subj/pred
+    // strings: a triple is unique per (doc key, label, obj) — deduping
+    // before the concat shuffles fewer bytes and computes the string build
+    // once per surviving row instead of once per mention occurrence. (It is
+    // also the domain-correct key: dedup on the concatenated subj would
+    // merge distinct docs whose repo/path happen to concat-collide.)
+    resolved.select("repo", "path", "commit", "lang", "label", "obj")
+      .distinct()
+      .select(
         concat_ws("@", concat_ws("/", col("repo"), col("path")), col("commit"))
           .as("subj"),
         concat(lit("mentions:"), col("label")).as("pred"),
         col("obj"),
         col("repo"), col("lang"))
-      .distinct()
   }
 
   /** S4 sink: write triples partitioned by (repo, lang) with a manifest. */
