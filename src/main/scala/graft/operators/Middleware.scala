@@ -82,10 +82,19 @@ object Lemmatizer {
     "der", "die", "das", "den", "dem", "des", "ein", "eine", "einen",
     "einem", "einer", "eines", "the", "a", "an")
 
-  /** Pure-Catalyst normalization of a mention column: lowercase, split on
-    * single spaces, drop article tokens, re-join.
+  /** Normalization of a mention column: lowercase, split on single spaces,
+    * drop article tokens, re-join — as the fused native expression
+    * ([[graft.expressions.NormalizeMention]]); the linker runs this on
+    * every mention occurrence and the HOF chain evaluates interpreted.
     */
-  def normalizeMention(c: Column): Column = {
+  def normalizeMention(c: Column): Column =
+    graft.expressions.NormalizeMention.normalize_mention(c)
+
+  /** The higher-order-function chain — the parity twin the native
+    * expression is spec-checked against (and the shape mirrored by
+    * [[normalizeSqlDuck]]).
+    */
+  private[graft] def normalizeColHof(c: Column): Column = {
     val toks = split(lower(c), " ")
     val kept = filter(toks, t => !t.isin(articles: _*))
     array_join(kept, " ")

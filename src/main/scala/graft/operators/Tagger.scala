@@ -99,8 +99,36 @@ object Tagger {
 
   /** U3 — the pluggable-model point (`--model`, `modelServer.py:249-251`):
     * the tagger stage parameterized by an arbitrary pattern/gazetteer set.
+    *
+    * When every pattern is in the literal-alternation subset (the shipped
+    * set is), tagging runs as ONE merged literal scan per row
+    * ([[graft.expressions.TagMentions]]) instead of one regex pass per
+    * pattern; arbitrary regexes fall back to the `regexp_extract_all`
+    * formulation. Both paths emit identical rows (spec-pinned, plus the
+    * DuckDB oracle which always takes the regex dialect).
     */
   def tagMentionsWith(ps: Seq[Pattern])(df: DataFrame, textCol: String): DataFrame = {
+    val tagged = graft.expressions.LiteralScanner.forPatterns(ps) match {
+      case Some(scanner) =>
+        graft.expressions.TagMentions.tag_mentions(col(textCol), scanner)
+      case None =>
+        flatten(array(ps.map { p =>
+          transform(
+            regexp_extract_all(col(textCol), lit(p.regex), lit(p.group)),
+            m => struct(lit(p.label).as("label"),
+              lit(p.confidence).as("confidence"), m.as("mention")))
+        }: _*))
+    }
+    df.select(col("*"), explode(tagged).as("e"))
+      .select(col("*"), col("e.label"), col("e.confidence"), col("e.mention"))
+      .drop("e", textCol)
+  }
+
+  /** The regexp_extract_all formulation, regardless of pattern shape —
+    * the parity twin the literal-scan path is spec-checked against.
+    */
+  private[graft] def tagMentionsRegex(ps: Seq[Pattern])(df: DataFrame,
+      textCol: String): DataFrame = {
     val perPattern = ps.map { p =>
       transform(
         regexp_extract_all(col(textCol), lit(p.regex), lit(p.group)),
@@ -155,22 +183,27 @@ object Tagger {
 
   // ---- Span oracle (DuckDB twin of the Java-regex scan, g4_spans) --------
 
-  /** One alternative of a pattern, normalized for the span oracle. The
-    * generator PARSES the shared [[patterns]] constants (it does not carry
-    * its own copy) and supports exactly the two shapes the pattern set
-    * uses — `\bLITERAL\b` / bare-literal alternations, and the
+  /** One alternative of a pattern, normalized for the span oracle AND the
+    * fast literal-scan tagger ([[LiteralScanner]]). The generator PARSES
+    * the shared [[patterns]] constants (it does not carry its own copy) and
+    * supports exactly the two shapes the pattern set uses —
+    * `\bLITERAL\b` / bare-literal alternations, and the
     * `\b(LITERAL)\. [class]` context-group shape; anything else throws, so
-    * a pattern edit cannot silently desynchronize the oracle.
+    * a pattern edit cannot silently desynchronize the derived forms.
     */
-  private final case class SpanAlt(label: String, confidence: Double,
+  private[graft] final case class SpanAlt(label: String, confidence: Double,
       pat: Int, alt: Int, literal: String, leftB: Boolean, rightB: Boolean,
       suffixClass: Option[String], groupLen: Int, fullLen: Int)
 
-  private val wordChars: Set[Char] =
+  private[graft] val wordChars: Set[Char] =
     (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') :+ '_').toSet
 
-  private def spanAlts: Seq[SpanAlt] = patterns.zipWithIndex.flatMap {
-    case (p, pi) =>
+  /** Parse an arbitrary pattern set into literal alternatives; throws on
+    * any regex shape outside the supported subset (callers that want a
+    * fallback wrap in Try).
+    */
+  private[graft] def parseAlts(ps: Seq[Pattern]): Seq[SpanAlt] =
+    ps.zipWithIndex.flatMap { case (p, pi) =>
       val shapeB = """^\\b\(([^()\\]+)\)\\\. \[([^\]]+)\]$""".r
       p.regex match {
         case shapeB(lit, cls) =>
@@ -194,7 +227,9 @@ object Tagger {
               lit.length, lit.length)
           }
       }
-  }
+    }
+
+  private def spanAlts: Seq[SpanAlt] = parseAlts(patterns)
 
   /** DuckDB twin of [[tagScalar]] INCLUDING character spans, as a
     * parenthesized relation
@@ -258,9 +293,12 @@ object Tagger {
     * north rule measures P/R against — same patterns, executed imperatively
     * outside Spark.
     */
+  private lazy val compiledPatterns: Seq[(Pattern, java.util.regex.Pattern)] =
+    patterns.map(p => (p, java.util.regex.Pattern.compile(p.regex)))
+
   def tagScalar(cleaned: String): Seq[Entity] =
-    patterns.flatMap { p =>
-      val m = java.util.regex.Pattern.compile(p.regex).matcher(cleaned)
+    compiledPatterns.flatMap { case (p, rx) =>
+      val m = rx.matcher(cleaned)
       val out = scala.collection.mutable.ArrayBuffer.empty[Entity]
       while (m.find()) {
         out += Entity(m.group(p.group), p.label, p.confidence,

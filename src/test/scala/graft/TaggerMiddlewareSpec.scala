@@ -87,6 +87,55 @@ class TaggerMiddlewareSpec extends AnyFunSuite {
     assert(dist == local)
   }
 
+  test("G4 literal-scan path == regexp path on randomized boundary-stress text") {
+    // The shipped pattern set takes the LiteralScanner fast path; the
+    // regexp_extract_all formulation is the semantics twin (and the shape
+    // the DuckDB oracle always runs). Fuzz both over text built from the
+    // pattern vocabulary with boundary-hostile glue: missing spaces
+    // (word-boundary checks), punctuation runs, overlapping phrases
+    // ("the window" vs "window"), the shape-B context ("Elisabeth II. x"),
+    // quoted titles, and multi-word literals split across glue.
+    val vocab = Seq("customer", "Anton Schwarz", "Elisabeth II.", "spark",
+      "hash join", "merge", "stream", "vector", "Dresden", "the window",
+      "window", "table scan", "\"Traumwerkstadt\"", "Traumwerkstadt", "dup",
+      "sparky", "xspark", "II", "Elisabeth", "wind", "owindow", "foo")
+    val glue = Seq(" ", "", ". ", " x", "x ", "? ", "_", "-")
+    val rnd = new scala.util.Random(17)
+    val texts = (1 to 400).map { _ =>
+      (1 to (1 + rnd.nextInt(12))).map(_ =>
+        vocab(rnd.nextInt(vocab.length)) + glue(rnd.nextInt(glue.length))
+      ).mkString
+    } :+ anton :+ elisabeth :+ elisabethQuoted
+    val df = texts.zipWithIndex.toDF("t", "id")
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", "label", "confidence", "mention")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val fast = rows(Tagger.tagMentions(df, "t"))
+    val regex = rows(Tagger.tagMentionsRegex(Tagger.patterns)(df, "t"))
+    assert(fast == regex)
+    assert(fast.nonEmpty)
+  }
+
+  test("G4 literal-scan: per-row emission order is pattern-major, position-minor") {
+    // exact array parity (order included) with the flatten(per-pattern
+    // regexp_extract_all) formulation, on the golden paragraphs
+    val df = Seq(anton, elisabeth, elisabethQuoted).toDF("t")
+    val scanner = graft.expressions.LiteralScanner.forPatterns(Tagger.patterns).get
+    val viaScan = df.select(
+        graft.expressions.TagMentions.tag_mentions(col("t"), scanner).as("es"))
+      .selectExpr("transform(es, e -> concat(e.label, ':', e.mention))")
+      .as[Seq[String]].collect().toSeq
+    val viaRegex = df.select(flatten(array(Tagger.patterns.map { p =>
+        transform(regexp_extract_all(col("t"), lit(p.regex), lit(p.group)),
+          m => struct(lit(p.label).as("label"),
+            lit(p.confidence).as("confidence"), m.as("mention")))
+      }: _*)).as("es"))
+      .selectExpr("transform(es, e -> concat(e.label, ':', e.mention))")
+      .as[Seq[String]].collect().toSeq
+    assert(viaScan == viaRegex)
+    assert(viaScan.exists(_.nonEmpty))
+  }
+
   test("P4 threshold boundary: conf >= 0.95 kept, 0.90 dropped (middleware.py:62)") {
     val rows = Seq(
       ("d1", "A", "x", 0.95), ("d1", "B", "y", 0.9499999), ("d1", "C", "z", 0.90))
@@ -127,6 +176,25 @@ class TaggerMiddlewareSpec extends AnyFunSuite {
     assert(math.abs(got("d1").get - 0.25) < 1e-12) // (0.8-0.3)/2
     assert(math.abs(got("d2").get - 0.25) < 1e-12) // (1.0-0.5)/2
     assert(got("d3").isEmpty) // reference would div-by-zero (middleware.py:41)
+  }
+
+  test("G5 native normalize_mention == HOF chain (randomized, space-edge stress)") {
+    // the fused expression must reproduce the HOF chain exactly, INCLUDING
+    // Spark split's kept empty tokens: leading/trailing/double spaces
+    // around non-article tokens survive the rejoin.
+    val words = Seq("the", "The", "a", "an", "der", "DIE", "window", "Anton",
+      "Schwarz", "eine", "", "x", "Straße", "ÄÖÜ", "tablescan")
+    val rnd = new scala.util.Random(23)
+    val inputs = (1 to 500).map { _ =>
+      (1 to (1 + rnd.nextInt(6))).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" ")
+    } ++ Seq("", " ", "  ", "the ", " the", "a  b", "x ", " x", "the the")
+    val df = inputs.toDF("m")
+    val viaExpr = df.select(Lemmatizer.normalizeMention(col("m")))
+      .as[String].collect().toSeq
+    val viaHof = df.select(Lemmatizer.normalizeColHof(col("m")))
+      .as[String].collect().toSeq
+    assert(viaExpr == viaHof)
   }
 
   test("G5 lemma: article tokens dropped, lowercased (middlewareServer.py:113-119)") {
