@@ -145,6 +145,33 @@ class AnalysisStreamingSpec extends AnyFunSuite {
       "the duplicate micro-batch must be fully suppressed by dedup state")
   }
 
+  test("streaming: foreachBatch KG pipeline == batch triples (micro-batched corpus)") {
+    // the full pipeline (cleanup -> split/tag -> link -> triples) running
+    // per micro-batch over a file stream of the Doc table must produce
+    // exactly the batch result: docs are row-atomic, so batching partitions
+    // the doc set and per-doc triples union disjointly.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.docsDf(spark, dir)
+    val in = java.nio.file.Files.createTempDirectory("kg-stream-in")
+    val out = java.nio.file.Files.createTempDirectory("kg-stream-out")
+    val chk = java.nio.file.Files.createTempDirectory("kg-stream-chk")
+    docs.repartition(3).write.mode("overwrite").parquet(in.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val q = EventStream.forEachBatchTriples(spark, stream,
+      out.toString, chk.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out.toString)
+    assert(streamed.select(countDistinct(col("batch_id"))).as[Long].head() > 1L,
+      "corpus must actually arrive over multiple micro-batches")
+    val got = streamed.select("subj", "pred", "obj", "repo", "lang")
+      .as[(String, String, String, String, String)].collect().toSet
+    val want = graft.pipeline.KgPipeline.triples(spark, docs)
+      .as[(String, String, String, String, String)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming: mapGroupsWithState running totals match batch counts") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
