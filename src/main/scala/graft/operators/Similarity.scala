@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Ordered-fold dot product of two double-array columns (deterministic
-    * IEEE order; matches DuckDB `list_reduce`).
+    * IEEE order; matches DuckDB `list_reduce`) — the native single-loop
+    * expression ([[graft.expressions.DotProduct]]); the HOF chain below is
+    * the spec-checked parity twin.
     */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.DotProduct.dot_product(a, b)
+
+  /** `aggregate(zip_with(...))` twin of [[dot]] — identical fold order. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =

@@ -95,6 +95,26 @@ class DedupSimSpec extends AnyFunSuite {
     assert(math.abs(got - sa.intersect(sb).size.toDouble / sa.union(sb).size) < 1e-12)
   }
 
+  test("native dot_product == aggregate/zip_with fold, bit-exact (randomized)") {
+    // both must perform the identical IEEE-754 sequence (acc + a_i*b_i left
+    // to right from 0.0) — the DuckDB oracle's list_reduce agrees with that
+    // order, so the native kernel must match to the last bit, not just
+    // within epsilon.
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map { _ =>
+      val d = 1 + rnd.nextInt(80)
+      (Seq.fill(d)(rnd.nextGaussian()), Seq.fill(d)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("a", "b")
+    val native = df.select(Similarity.dot(col("a"), col("b"))).as[Double].collect()
+    val hof = df.select(Similarity.dotHof(col("a"), col("b"))).as[Double].collect()
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(h), s"$n != $h")
+    }
+  }
+
   test("ANN: brute-force top-k matches local computation on sf0.001") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 3)
