@@ -111,7 +111,13 @@ object Bench {
     var triples = 0L
     val timesByLevel = scala.collection.mutable.Map.empty[Int, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    (1 to 2).foreach { pass =>
+    // THREE separated passes: with two, a level whose both windows land on
+    // co-tenant contention (it intermittently doubles multi-thread times
+    // while leaving 2-thread runs near-untouched) skews the best-of ratio
+    // by up to ±0.07 observed; three windows per level make a clean sample
+    // per level overwhelmingly likely. Raw times ship in the JSON.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    (1 to passes).foreach { pass =>
       levels.reverse.foreach { n =>
         System.gc()
         val s = session(n)
