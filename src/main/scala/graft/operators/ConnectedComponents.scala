@@ -35,9 +35,14 @@ object ConnectedComponents {
 
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30,
       salts: Int = 8, vertices: Option[DataFrame] = None): DataFrame = {
+    // Pre-partition the (checkpointed) edge set by src ONCE: every
+    // iteration joins on src, and the distinct's (src, dst) partitioning
+    // would otherwise make the join re-shuffle the whole edge relation —
+    // the largest per-iteration shuffle at corpus scale — every round.
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint(true)
 
     val fromEdges = sym.select(col("src").as("id"))
