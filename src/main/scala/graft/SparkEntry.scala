@@ -745,6 +745,45 @@ object SparkEntry {
           |FROM a ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- multimodal: REAL image resize (decode -> NN half-size -> re-encode).
+    // The oracle predicts the resized dims and the re-encoded BMP byte
+    // length from the same sha256 derivations; pixel-level NN fidelity is
+    // pinned by spec (the resized payload re-decodes to the source's
+    // even-coordinate pixels).
+    QuerySpec("mm_resize",
+      (s, dir) => Multimodal.resizeHalf(s,
+          Multimodal.withBmpPayload(Tables.documents(s, dir)))
+        .toDF().orderBy("doc_id"),
+      Some {
+        val (w, h) = Multimodal.dimsSqlDuck("text")
+        s"""WITH d AS (SELECT doc_id, $w AS width, $h AS height FROM documents),
+          |r AS (SELECT doc_id, width, height,
+          |  greatest(width // 2, 1) AS out_width,
+          |  greatest(height // 2, 1) AS out_height FROM d)
+          |SELECT doc_id, width, height, out_width, out_height,
+          |  CAST(54 + ((out_width * 3 + 3) // 4) * 4 * out_height AS BIGINT) AS out_len
+          |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- multimodal: REAL audio frame-sampling (decode -> every 4th frame
+    // -> re-encode). The temporal-subsample shape a video frame-sampler
+    // takes; byte-level stride fidelity is pinned by spec.
+    QuerySpec("mm_audio_sample",
+      (s, dir) => Multimodal.sampleFrames(s,
+          Multimodal.withWavPayload(Tables.documents(s, dir)))
+        .toDF().orderBy("doc_id"),
+      Some {
+        val (rate, ch, fr) = Multimodal.audioDimsSqlDuck("text")
+        s"""WITH a AS (SELECT doc_id, $rate AS sample_rate, $ch AS channels, $fr AS n_frames FROM documents),
+          |sm AS (SELECT doc_id, sample_rate, channels, n_frames,
+          |  (n_frames + 3) // 4 AS out_frames FROM a)
+          |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+          |  CAST(out_frames AS BIGINT) AS out_frames,
+          |  CAST(44 + out_frames * channels * 2 AS BIGINT) AS out_len,
+          |  sample_rate
+          |FROM sm ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- relational coverage: TPC-H-ish (bench headliners) -------------------
     QuerySpec("q1_pricing",
       (s, dir) => Tables.lineitem(s, dir)

@@ -124,6 +124,87 @@ object Multimodal {
   def withPayload(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("payload", col(textCol).cast("binary"))
 
+  // ---- image resize (decode -> nearest-neighbor downsample -> re-encode) --
+
+  final case class ResizedMeta(doc_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int, out_len: Long)
+
+  private def writeBmpHeader(out: Array[Byte], w: Int, h: Int): Unit = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, out.length)
+    le32(10, 54); le32(14, 40); le32(18, w); le32(22, h)
+    out(26) = 1; out(28) = 24
+    le32(34, rowSize * h)
+  }
+
+  /** Re-encode a BufferedImage in the same minimal 24-bpp BMP layout as
+    * [[encodeBmpScalar]] (bottom-up BGR rows, 4-byte row padding) — the
+    * output byte length is exactly `54 + rowSize(w) * h`, which is what
+    * makes the resize oracle-able.
+    */
+  def encodeBmpFromImage(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + rowSize * h)
+    writeBmpHeader(out, w, h)
+    var y = 0
+    while (y < h) {
+      val off = 54 + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(off + x * 3) = (rgb & 0xff).toByte
+        out(off + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+        out(off + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Half-size nearest-neighbor resize over BMP payloads: REAL javax.imageio
+    * decode, explicit NN sampling (pixel (x, y) <- source (2x, 2y) —
+    * deterministic, unlike Graphics2D interpolation), re-encode in the
+    * [[encodeBmpScalar]] layout. One reader per partition (mapInPandas
+    * batch shape). Dims floor-halve with a 1-pixel minimum.
+    */
+  def resizeHalf(spark: SparkSession, df: DataFrame): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("bmp").next()
+        it.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
+          val w2 = math.max(1, img.getWidth / 2)
+          val h2 = math.max(1, img.getHeight / 2)
+          val scaled = new java.awt.image.BufferedImage(w2, h2,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              scaled.setRGB(x, y, img.getRGB(x * 2, y * 2))
+              x += 1
+            }
+            y += 1
+          }
+          val outBytes = encodeBmpFromImage(scaled)
+          ResizedMeta(id, img.getWidth, img.getHeight, w2, h2,
+            outBytes.length.toLong)
+        }
+      }
+  }
+
   // ---- audio (WAV / javax.sound.sampled) -----------------------------------
 
   final case class AudioMeta(
@@ -193,6 +274,67 @@ object Multimodal {
     df.withColumn("payload", encodeWavUdf(col(textCol),
       sampleRateCol(col(textCol)), channelsCol(col(textCol)),
       framesCol(col(textCol))))
+
+  // ---- audio frame-sampling (decode -> every-k-th frame -> re-encode) -----
+
+  final case class SampledAudioMeta(doc_id: Long, n_frames: Long,
+      out_frames: Long, out_len: Long, sample_rate: Int)
+
+  /** Re-encode raw 16-bit PCM as WAV (header identical to
+    * [[encodeWavScalar]]'s) — output length is exactly `44 + pcm.length`.
+    */
+  def encodeWavFromPcm(rate: Int, channels: Int,
+      pcm: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + pcm.length)
+    def ascii(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => out(off + i) = b }
+    def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def le16(off: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    ascii(0, "RIFF"); le32(4, 36 + pcm.length); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1)
+    le16(22, channels); le32(24, rate)
+    le32(28, rate * channels * 2); le16(32, channels * 2); le16(34, 16)
+    ascii(36, "data"); le32(40, pcm.length)
+    System.arraycopy(pcm, 0, out, 44, pcm.length)
+    out
+  }
+
+  /** Every-k-th-frame sampling over WAV payloads: REAL javax.sound decode,
+    * frame stride over the PCM bytes, re-encode at the same rate (the
+    * temporal-subsample shape a video frame-sampler takes too). Output
+    * frame count is `ceil(n / k)` — frames 0, k, 2k, ... are kept.
+    */
+  def sampleFrames(spark: SparkSession, df: DataFrame,
+      k: Int = 4): Dataset[SampledAudioMeta] = {
+    import spark.implicits._
+    require(k >= 1, "stride must be >= 1")
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val frameSize = fmt.getFrameSize
+          val n = ais.getFrameLength
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val outN = ((n + k - 1) / k).toInt
+          val sampled = new Array[Byte](outN * frameSize)
+          var f = 0
+          while (f < outN) {
+            System.arraycopy(pcm, f * k * frameSize, sampled, f * frameSize,
+              frameSize)
+            f += 1
+          }
+          val outBytes = encodeWavFromPcm(fmt.getSampleRate.toInt,
+            fmt.getChannels, sampled)
+          SampledAudioMeta(id, n, outN.toLong, outBytes.length.toLong,
+            fmt.getSampleRate.toInt)
+        }
+      }
+  }
 
   /** Batch audio decode with `javax.sound.sampled` (pure-JDK WAV reader):
     * iterator-in / iterator-out per partition.

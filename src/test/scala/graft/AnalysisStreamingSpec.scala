@@ -83,6 +83,74 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     assert(dims.map(_._2).forall(Multimodal.wavRates.contains))
   }
 
+  test("multimodal: NN half-resize — dims/len as derived AND pixels are the even-coordinate source pixels") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(8)
+    val withP = Multimodal.withBmpPayload(docs)
+    val metas = Multimodal.resizeHalf(spark, withP).collect()
+    assert(metas.nonEmpty)
+    metas.foreach { m =>
+      assert(m.out_width == math.max(1, m.width / 2))
+      assert(m.out_height == math.max(1, m.height / 2))
+      val rowSize = ((m.out_width * 3 + 3) / 4) * 4
+      assert(m.out_len == 54L + rowSize.toLong * m.out_height)
+    }
+    // pixel fidelity on one payload, end to end through the real codec:
+    // re-running the transform locally and re-decoding the re-encoded BMP
+    // must reproduce the source's even-coordinate pixels exactly.
+    val bytes = withP.select("payload").as[Array[Byte]].head()
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w2 = math.max(1, src.getWidth / 2)
+    val h2 = math.max(1, src.getHeight / 2)
+    val scaled = new java.awt.image.BufferedImage(w2, h2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    (0 until h2).foreach(y => (0 until w2).foreach(x =>
+      scaled.setRGB(x, y, src.getRGB(x * 2, y * 2))))
+    val redecoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeBmpFromImage(scaled)))
+    (0 until h2).foreach(y => (0 until w2).foreach { x =>
+      assert((redecoded.getRGB(x, y) & 0xffffff) == (src.getRGB(x * 2, y * 2) & 0xffffff),
+        s"pixel ($x,$y) diverged through resize+re-encode")
+    })
+  }
+
+  test("multimodal: frame-sampling keeps exactly frames 0, k, 2k, ... byte-for-byte") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(8)
+    val withP = Multimodal.withWavPayload(docs)
+    val metas = Multimodal.sampleFrames(spark, withP, k = 4).collect()
+    assert(metas.nonEmpty)
+    metas.foreach { m =>
+      assert(m.out_frames == (m.n_frames + 3) / 4)
+      // out_len = 44 + out_frames * channels * 2 for channels in {1, 2}
+      assert((m.out_len - 44) % (m.out_frames * 2) == 0)
+      val channels = (m.out_len - 44) / (m.out_frames * 2)
+      assert(channels == 1 || channels == 2, s"implied channels $channels")
+    }
+    // byte-level stride fidelity on one payload
+    val bytes = withP.select("payload").as[Array[Byte]].head()
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    val fs = fmt.getFrameSize
+    val pcm = ais.readAllBytes(); ais.close()
+    val n = pcm.length / fs
+    val outN = (n + 3) / 4
+    val sampled = Multimodal.encodeWavFromPcm(fmt.getSampleRate.toInt,
+      fmt.getChannels,
+      (0 until outN).flatMap(f => pcm.slice(f * 4 * fs, f * 4 * fs + fs)).toArray)
+    val ais2 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(sampled))
+    assert(ais2.getFrameLength == outN.toLong)
+    val pcm2 = ais2.readAllBytes(); ais2.close()
+    (0 until outN).foreach { f =>
+      (0 until fs).foreach { b =>
+        assert(pcm2(f * fs + b) == pcm(f * 4 * fs + b),
+          s"frame $f byte $b diverged through sampling+re-encode")
+      }
+    }
+  }
+
   test("multimodal: encodeBmpScalar bytes are a valid BMP for plain ImageIO.read") {
     val bytes = Multimodal.encodeBmpScalar(17, 5, "seed".getBytes("UTF-8"))
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
