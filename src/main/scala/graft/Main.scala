@@ -103,12 +103,15 @@ object Main {
         links.join(broadcast(cm), Seq("entity_id"), "left")
           .withColumn("obj", coalesce(col("canon_id"), col("entity_id")))
       } else links.withColumn("obj", col("entity_id"))
-      resolved.select(
+      // narrow-key dedup BEFORE the subj/pred concat (same shape as
+      // KgPipeline.triples — BENCH.md lesson 13)
+      resolved.select("repo", "path", "commit", "lang", "label", "obj")
+        .distinct()
+        .select(
           concat_ws("@", concat_ws("/", col("repo"), col("path")), col("commit"))
             .as("subj"),
           concat(lit("mentions:"), col("label")).as("pred"),
           col("obj"), col("repo"), col("lang"))
-        .distinct()
     }
 
     triples.count()

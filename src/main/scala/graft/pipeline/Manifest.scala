@@ -48,32 +48,45 @@ object Manifest {
       stage: String, partitionCols: Seq[String],
       inputFingerprint: String = ""): Unit = {
     val out = s"$warehouse/$stage"
-    val data = df.cache()
-    try {
-      val writer = data.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-        .parquet(out)
-      val perPart: Seq[(String, Long)] =
-        if (partitionCols.nonEmpty)
-          data.groupBy(partitionCols.map(col): _*).count()
-            .collect()
-            .map(r => partitionCols.indices.map(r.get(_)).mkString("/") ->
-              r.getLong(partitionCols.length))
-            .toSeq.sortBy(_._1)
-        else Seq("(all)" -> data.count())
-      val total = perPart.map(_._2).sum
-      val parts = perPart.map { case (p, n) =>
-        s"""{"partition":${jsonStr(p)},"rows":$n}"""
-      }.mkString("[", ",", "]")
-      val manifest =
-        s"""{"stage":${jsonStr(stage)},"rows":$total,""" +
-          s""""input_fingerprint":${jsonStr(inputFingerprint)},""" +
-          s""""partition_cols":${partitionCols.map(jsonStr).mkString("[", ",", "]")},""" +
-          s""""partitions":$parts}"""
-      val p = new org.apache.hadoop.fs.Path(manifestPath(warehouse, stage))
-      val o = fs(spark, warehouse).create(p, true)
-      try o.write(manifest.getBytes("UTF-8")) finally o.close()
-    } finally data.unpersist()
+    // Co-locate each output partition's rows before the partitioned write
+    // (the north rule's explicit repartition by repo/lang): without it,
+    // every task writes one file per (repo, lang) value it happens to hold
+    // — tasks × partitions small files at corpus scale. Trade-off: write
+    // parallelism is bounded by the distinct partition-value count, and a
+    // skewed value serializes in one task; when that bites, swap for the
+    // AQE rebalance hint (splits oversized output partitions).
+    val toWrite =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df
+    val writer = toWrite.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(out)
+    // Lineage metrics from the COMMITTED snapshot, not from a cache of the
+    // stage lineage: caching a corpus-scale stage just to count it spills
+    // the whole stage to executor disk; counting the committed parquet is
+    // a metadata-cheap scan (row counts from footers, partition values
+    // from directory names) and records what was actually written.
+    val committed = spark.read.parquet(out)
+    val perPart: Seq[(String, Long)] =
+      if (partitionCols.nonEmpty)
+        committed.groupBy(partitionCols.map(col): _*).count()
+          .collect()
+          .map(r => partitionCols.indices.map(r.get(_)).mkString("/") ->
+            r.getLong(partitionCols.length))
+          .toSeq.sortBy(_._1)
+      else Seq("(all)" -> committed.count())
+    val total = perPart.map(_._2).sum
+    val parts = perPart.map { case (p, n) =>
+      s"""{"partition":${jsonStr(p)},"rows":$n}"""
+    }.mkString("[", ",", "]")
+    val manifest =
+      s"""{"stage":${jsonStr(stage)},"rows":$total,""" +
+        s""""input_fingerprint":${jsonStr(inputFingerprint)},""" +
+        s""""partition_cols":${partitionCols.map(jsonStr).mkString("[", ",", "]")},""" +
+        s""""partitions":$parts}"""
+    val p = new org.apache.hadoop.fs.Path(manifestPath(warehouse, stage))
+    val o = fs(spark, warehouse).create(p, true)
+    try o.write(manifest.getBytes("UTF-8")) finally o.close()
   }
 
   private def jsonStr(s: String): String =
