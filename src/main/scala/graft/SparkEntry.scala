@@ -784,6 +784,23 @@ object SparkEntry {
           |FROM sm ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- multimodal: video twin — REAL multi-frame GIF decode + stride-2
+    // temporal subsample. GIF's LZW byte length is not SQL-predictable, so
+    // the oracle pins frame count, dims, and the subsample arithmetic; the
+    // per-frame decode is a real codec pass (each kept frame is read).
+    QuerySpec("mm_video",
+      (s, dir) => Multimodal.decodeVideoMeta(s,
+          Multimodal.withGifPayload(Tables.documents(s, dir)))
+        .toDF().orderBy("doc_id"),
+      Some {
+        val (w, h) = Multimodal.dimsSqlDuck("text")
+        val nf = Multimodal.videoFramesSqlDuck("text")
+        s"""WITH v AS (SELECT doc_id, $nf AS n_frames, $w AS width, $h AS height FROM documents)
+          |SELECT doc_id, n_frames, width, height,
+          |  (n_frames + 1) // 2 AS sampled_frames
+          |FROM v ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- relational coverage: TPC-H-ish (bench headliners) -------------------
     QuerySpec("q1_pricing",
       (s, dir) => Tables.lineitem(s, dir)

@@ -205,6 +205,92 @@ object Multimodal {
       }
   }
 
+  // ---- video twin (multi-frame GIF / javax.imageio sequence writer) -------
+  // A real multi-frame container standing in for video: frames are written
+  // with ImageIO's GIF sequence writer and read back frame-by-frame. GIF's
+  // LZW payload length is not SQL-predictable, so the oracle pins the frame
+  // count, dimensions, and the temporal-subsample arithmetic — the decode
+  // itself is a real codec pass.
+
+  final case class VideoMeta(doc_id: Long, n_frames: Int, width: Int,
+      height: Int, sampled_frames: Int)
+
+  def videoFramesCol(text: Column): Column = (hexPair(text, 11) % 5) + 2
+
+  def videoFramesSqlDuck(col: String): String =
+    s"(${hexPairSqlDuck(col, 11)} % 5 + 2)"
+
+  /** Multi-frame GIF synthesized deterministically: `frames` frames of
+    * w×h, pixel (x, y) of frame f filled from the seed cyclically.
+    */
+  def encodeGifScalar(w: Int, h: Int, frames: Int,
+      seed: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until frames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = (f * w * h + y * w + x) * 3
+          def b(j: Int): Int =
+            if (seed.nonEmpty) seed((i + j) % seed.length) & 0xff else 0
+          img.setRGB(x, y, (b(0) << 16) | (b(1) << 8) | b(2))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  private val encodeGifUdf =
+    udf((text: String, w: Int, h: Int, frames: Int) =>
+      encodeGifScalar(w, h, frames,
+        Option(text).getOrElse("").getBytes("UTF-8")))
+
+  def withGifPayload(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("payload", encodeGifUdf(col(textCol),
+      widthCol(col(textCol)), heightCol(col(textCol)),
+      videoFramesCol(col(textCol))))
+
+  /** Decode the multi-frame payload (real GIF reader, one per partition)
+    * and apply every-2nd-frame temporal subsampling: `sampled_frames`
+    * counts the frames a stride-2 sampler would keep — the video analogue
+    * of [[sampleFrames]].
+    */
+  def decodeVideoMeta(spark: SparkSession, df: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        it.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val img0 = reader.read(0)
+          // stride-2 temporal subsample: frames 0, 2, 4, ... (decode each
+          // kept frame — a real per-frame codec pass, not arithmetic)
+          var kept = 0
+          var f = 0
+          while (f < n) { reader.read(f); kept += 1; f += 2 }
+          iis.close()
+          VideoMeta(id, n, img0.getWidth, img0.getHeight, kept)
+        }
+      }
+  }
+
   // ---- audio (WAV / javax.sound.sampled) -----------------------------------
 
   final case class AudioMeta(

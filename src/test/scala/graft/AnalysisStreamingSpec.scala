@@ -151,6 +151,28 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: GIF video twin — frame count and dims survive the real codec round trip") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(8)
+    val metas = Multimodal.decodeVideoMeta(spark,
+      Multimodal.withGifPayload(docs)).collect()
+    assert(metas.nonEmpty)
+    metas.foreach { m =>
+      assert(m.n_frames >= 2 && m.n_frames <= 6)
+      assert(m.sampled_frames == (m.n_frames + 1) / 2)
+      assert(m.width >= 1 && m.width <= 32 && m.height >= 1 && m.height <= 32)
+    }
+    // direct encoder round trip with known params
+    val bytes = Multimodal.encodeGifScalar(5, 3, 4, "seed".getBytes("UTF-8"))
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    r.setInput(iis)
+    assert(r.getNumImages(true) == 4)
+    assert(r.read(0).getWidth == 5 && r.read(0).getHeight == 3)
+    iis.close()
+  }
+
   test("multimodal: encodeBmpScalar bytes are a valid BMP for plain ImageIO.read") {
     val bytes = Multimodal.encodeBmpScalar(17, 5, "seed".getBytes("UTF-8"))
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
