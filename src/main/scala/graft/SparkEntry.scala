@@ -801,6 +801,23 @@ object SparkEntry {
           |FROM v ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- multimodal: pixel-level feature extraction. The payload's pixel
+    // bytes are seeded from the sha256 HEX of the text, so the oracle can
+    // recompute the channel-byte sum arithmetically — the driver gate
+    // verifies the decode down to pixel CONTENT, not just dims/lengths.
+    QuerySpec("mm_pixels",
+      (s, dir) => Multimodal.pixelStats(s,
+          Multimodal.withBmpPayloadHexSeed(Tables.documents(s, dir)))
+        .toDF().orderBy("doc_id"),
+      Some {
+        val (w, h) = Multimodal.dimsSqlDuck("text")
+        val pxSum = Multimodal.pixelSumSqlDuck("text", "width", "height")
+        s"""WITH d AS (SELECT doc_id, text, $w AS width, $h AS height FROM documents)
+          |SELECT doc_id, CAST($pxSum AS BIGINT) AS px_sum,
+          |  CAST(width * height * 3 AS BIGINT) AS n_px
+          |FROM d ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- relational coverage: TPC-H-ish (bench headliners) -------------------
     QuerySpec("q1_pricing",
       (s, dir) => Tables.lineitem(s, dir)

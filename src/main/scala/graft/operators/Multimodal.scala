@@ -205,6 +205,73 @@ object Multimodal {
       }
   }
 
+  // ---- pixel-level feature extraction (decode -> channel-byte sum) --------
+
+  final case class PixelStats(doc_id: Long, px_sum: Long, n_px: Long)
+
+  /** BMP payload whose pixel bytes are seeded from the sha256 HEX STRING of
+    * the text (ASCII '0'-'9'/'a'-'f') instead of the raw text bytes: hex
+    * chars have SQL-computable byte values, which lets the oracle predict a
+    * pixel-CONTENT feature (not just dims/lengths) and thereby verifies the
+    * decode down to the pixel bytes in the driver gate.
+    */
+  def withBmpPayloadHexSeed(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("payload",
+      udf((sha: String, w: Int, h: Int) =>
+        encodeBmpScalar(w, h, sha.getBytes("US-ASCII")))
+        .apply(sha2(col(textCol).cast("string"), 256),
+          widthCol(col(textCol)), heightCol(col(textCol))))
+
+  /** Feature-extract: decode the BMP (real codec) and sum every channel
+    * byte over all pixels (plus the channel count). The oracle recomputes
+    * the same sum from the seed arithmetic — byte i of the pixel-data
+    * region is the hex char at position (i mod 64), skipping the row-pad
+    * bytes the decoder never surfaces.
+    */
+  def pixelStats(spark: SparkSession, df: DataFrame): Dataset[PixelStats] = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("bmp").next()
+        it.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += (rgb & 0xff) + ((rgb >> 8) & 0xff) + ((rgb >> 16) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          PixelStats(id, sum, img.getWidth.toLong * img.getHeight * 3)
+        }
+      }
+  }
+
+  /** DuckDB fragment: sum of the hex-seeded pixel-data bytes for a doc of
+    * dims (wExpr, hExpr) — iterate the data region, skip row padding, map
+    * each position to its seed hex char's ASCII value.
+    */
+  def pixelSumSqlDuck(textCol: String, wExpr: String, hExpr: String): String = {
+    val sha = s"sha256(CAST($textCol AS VARCHAR))"
+    val rowSize = s"((($wExpr) * 3 + 3) // 4) * 4"
+    val d = s"(strpos('0123456789abcdef', substr($sha, CAST(i % 64 AS INT) + 1, 1)) - 1)"
+    // DuckDB's range() table function rejects correlated column arguments
+    // (no lateral binding) — iterate a CONSTANT bound (max data size at the
+    // 32×32 dim cap: rowSize(32) * 32 = 3072) and bound the region in WHERE.
+    s"(SELECT sum(CASE WHEN $d < 10 THEN 48 + $d ELSE 87 + $d END) " +
+      s"FROM range(3072) t(i) " +
+      s"WHERE i < ($rowSize) * ($hExpr) AND i % ($rowSize) < ($wExpr) * 3)"
+  }
+
   // ---- video twin (multi-frame GIF / javax.imageio sequence writer) -------
   // A real multi-frame container standing in for video: frames are written
   // with ImageIO's GIF sequence writer and read back frame-by-frame. GIF's
