@@ -79,7 +79,7 @@ object Bench {
     // fixes cut the compute 2.4x. Same input at both levels, as the north
     // rule requires.
     val scaleRepl = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPL",
-      (repl * 2).toString).toInt
+      (repl * 3).toString).toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
 
     // --- scaling evidence: same job at N / 4N / 16N threads ---------------

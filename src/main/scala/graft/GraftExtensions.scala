@@ -30,5 +30,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "chunk_sentences"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expressions.ChunkSentences(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_mention"),
+      new ExpressionInfo(classOf[graft.expressions.NormalizeMention].getName,
+        "normalize_mention"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.NormalizeMention(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.expressions.DotProduct].getName,
+        "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.DotProduct(exprs.head, exprs(1))))
+    // tag_mentions(text) over the shipped pattern set (the literal subset
+    // always parses for it, so .get cannot throw here)
+    ext.injectFunction((
+      FunctionIdentifier("tag_mentions"),
+      new ExpressionInfo(classOf[graft.expressions.TagMentions].getName,
+        "tag_mentions"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.TagMentions(exprs.head,
+          graft.expressions.LiteralScanner
+            .forPatterns(graft.operators.Tagger.patterns).get)))
   }
 }

@@ -70,6 +70,13 @@ class EndToEndSpec extends AnyFunSuite {
         .collect().head.getSeq[String](0)
       assert(out == graft.operators.Chunker.chunkScalar(
         graft.operators.Splitter.splitScalar(text), 30))
+      val row = s2.sql(
+        "SELECT cleanup_text('a  b') AS c, normalize_mention('The Window') AS n, " +
+          "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "size(tag_mentions('the spark engine')) AS t")
+        .collect().head
+      assert(row.getString(0) == "a b" && row.getString(1) == "window")
+      assert(row.getDouble(2) == 11.0 && row.getInt(3) == 1)
     } finally {
       SparkSession.setDefaultSession(base); SparkSession.setActiveSession(base)
     }
