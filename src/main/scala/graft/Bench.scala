@@ -134,25 +134,33 @@ object Bench {
           timesByLevel(n) ++= (1 to reps).map(_ => time(headline(s, sfDir, scaleRepl))._2)
         } finally s.stop()
       }
-    (1 to passes).foreach(_ => runPass())
     def tputOf(n: Int): Double = triples / timesByLevel(n).min
-    def effMid: Double =
-      (tputOf(midCpus) / tputOf(lowCpus)) / (midCpus.toDouble / lowCpus)
-    // Adaptive extra passes: a run whose every window is contended reads as
-    // low efficiency no matter the estimator (observed 0.73 in a window
-    // where the clean-machine ratio measures 0.85-0.87). Keep sampling —
-    // same honest best-of, all raw times shipped — until the ratio clears
-    // the uncontended value or the pass budget runs out. This biases
-    // toward MEASURING the machine, not toward a lucky number: best-of is
-    // already the uncontended-machine estimator, extra passes just give
-    // every level a fair chance at a clean window.
-    var extraPass = passes
-    while (effMid < 0.84 && extraPass < maxPasses) {
+    // Stopping rule — METRIC-INDEPENDENT (round-2 review flagged the
+    // previous while-ratio-below-bar loop as optional stopping conditioned
+    // on the reported efficiency). The rule now looks only at the raw
+    // per-level minima: run at least `passes` passes, then keep sampling
+    // while the latest pass IMPROVED any level's best time by more than
+    // `stableTol` (i.e. until one full pass leaves every level's min
+    // stable), up to `maxPasses`. Best-of is the uncontended-machine
+    // estimator; min-stability says each level has seen a clean window —
+    // whether the resulting ratio reads high or low never enters the
+    // decision. All raw times ship in the JSON.
+    val stableTol = 0.02
+    var passesRan = 0
+    var stable = false
+    while (passesRan < passes || (!stable && passesRan < maxPasses)) {
+      val before = levels.map(n =>
+        timesByLevel(n) match { case ts if ts.nonEmpty => ts.min; case _ => Double.PositiveInfinity })
       runPass()
-      extraPass += 1
+      passesRan += 1
+      val after = levels.map(n => timesByLevel(n).min)
+      stable = before.zip(after).forall { case (b, a) =>
+        b.isFinite && a >= b * (1.0 - stableTol)
+      }
     }
     val (tputLow, tputMid, tputHigh) = (tputOf(lowCpus), tputOf(midCpus), tputOf(cpus))
-    val efficiency = effMid
+    val efficiency =
+      (tputOf(midCpus) / tputOf(lowCpus)) / (midCpus.toDouble / lowCpus)
     val efficiencyHigh = (tputHigh / tputMid) / (cpus.toDouble / midCpus)
 
     // --- per-query timings at the bench SF --------------------------------
@@ -178,6 +186,8 @@ object Bench {
     val scaling =
       s"""{"cpus_n":$lowCpus,"cpus_4n":$midCpus,"cpus_max":$cpus,""" +
         s""""replication":$scaleRepl,"triples":$triples,""" +
+        s""""passes_ran":$passesRan,""" +
+        s""""stop_rule":"min-pass $passes, then stop after the first pass that improves no level's min by >${(stableTol * 100).toInt}% (metric-independent; cap $maxPasses)",""" +
         s""""tput_n":${f"$tputLow%.1f"},"tput_4n":${f"$tputMid%.1f"},""" +
         s""""tput_max":${f"$tputHigh%.1f"},""" +
         s""""efficiency_n_4n":${f"$efficiency%.3f"},""" +

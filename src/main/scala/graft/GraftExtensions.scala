@@ -42,15 +42,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expressions.DotProduct(exprs.head, exprs(1))))
-    // tag_mentions(text) over the shipped pattern set (the literal subset
-    // always parses for it, so .get cannot throw here)
+    // tag_mentions(text) over the shipped pattern set. The literal scanner
+    // only covers the alternation-of-literals pattern subset; if the
+    // shipped set ever gains a pattern outside it, fail ANALYSIS with a
+    // clear message (the DataFrame path falls back to the regex
+    // formulation silently — a bare NoSuchElementException here would make
+    // the two surfaces diverge confusingly on the same pattern edit).
     ext.injectFunction((
       FunctionIdentifier("tag_mentions"),
       new ExpressionInfo(classOf[graft.expressions.TagMentions].getName,
         "tag_mentions"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.expressions.TagMentions(exprs.head,
-          graft.expressions.LiteralScanner
-            .forPatterns(graft.operators.Tagger.patterns).get)))
+        graft.expressions.LiteralScanner
+          .forPatterns(graft.operators.Tagger.patterns) match {
+          case Some(scanner) =>
+            graft.expressions.TagMentions(exprs.head, scanner)
+          case None =>
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "INTERNAL_ERROR",
+              messageParameters = Map("message" ->
+                ("tag_mentions: the shipped Tagger.patterns set contains a " +
+                  "pattern outside the literal-scanner subset; use " +
+                  "Tagger.tagMentions (regex fallback) or restrict the " +
+                  "pattern set")))
+        }))
   }
 }

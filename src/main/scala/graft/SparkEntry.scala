@@ -110,9 +110,15 @@ object SparkEntry {
         import s.implicits._
         val remap = Seq(("en", "en"), ("de", "de"), ("fr", "other"),
           ("es", "other"), ("zh", "other")).toDF("lang", "lang_group")
+        // LEFT join + coalesce, mirroring the oracle CASE's else-branch: a
+        // lang absent from the remap dim keeps its own value instead of
+        // dropping the row (the inner-join formulation was green only
+        // because the fixture's langs happen to cover the dict exactly).
         Tables.documents(s, dir).select("doc_id", "lang")
-          .join(broadcast(remap), Seq("lang"))
-          .select("doc_id", "lang_group").orderBy("doc_id")
+          .join(broadcast(remap), Seq("lang"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lang_group"), col("lang")).as("lang_group"))
+          .orderBy("doc_id")
       },
       Some("SELECT doc_id, CASE WHEN lang IN ('fr','es','zh') THEN 'other' " +
         "ELSE lang END AS lang_group FROM documents ORDER BY doc_id")),

@@ -1,10 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native ordered-fold dot product of two double-array columns — the ANN
   * hot kernel (`Similarity.dot`). The HOF formulation
@@ -21,7 +21,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * embedding tables' shape); length mismatch folds over the shorter prefix.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // analysis-time typing: arbitrary SQL (int arrays, generic arrays) is
+  // cast to array<double> or rejected, instead of mis-reading int-backed
+  // ArrayData via getDouble at runtime
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
 

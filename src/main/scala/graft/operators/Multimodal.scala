@@ -289,12 +289,25 @@ object Multimodal {
 
   /** Multi-frame GIF synthesized deterministically: `frames` frames of
     * w×h, pixel (x, y) of frame f filled from the seed cyclically.
+    * Acquires and disposes its own writer — single-payload convenience;
+    * the batch path ([[withGifPayload]]) reuses one writer per partition.
     */
   def encodeGifScalar(w: Int, h: Int, frames: Int,
       seed: Array[Byte]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try encodeGifWith(writer, w, h, frames, seed)
+    finally writer.dispose()
+  }
+
+  /** Encode with a CALLER-OWNED (reusable) writer — `reset()` between
+    * payloads restores the writer to its initial state, so one instance
+    * serves a whole partition.
+    */
+  def encodeGifWith(writer: javax.imageio.ImageWriter, w: Int, h: Int,
+      frames: Int, seed: Array[Byte]): Array[Byte] = {
+    writer.reset()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     (0 until frames).foreach { f =>
@@ -315,20 +328,38 @@ object Multimodal {
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
     }
     writer.endWriteSequence()
-    writer.dispose()
     ios.close()
     bos.toByteArray
   }
 
-  private val encodeGifUdf =
-    udf((text: String, w: Int, h: Int, frames: Int) =>
-      encodeGifScalar(w, h, frames,
-        Option(text).getOrElse("").getBytes("UTF-8")))
-
-  def withGifPayload(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withColumn("payload", encodeGifUdf(col(textCol),
-      widthCol(col(textCol)), heightCol(col(textCol)),
-      videoFramesCol(col(textCol))))
+  /** (doc_id, payload) with a real multi-frame GIF synthesized per row.
+    * mapPartitions with ONE writer per partition — the round-2 per-row
+    * `getImageWritersByFormatName` + `dispose` UDF was the single biggest
+    * cost in `mm_video`; this is the same per-partition-init shape every
+    * decoder in this file uses. Dim/frame derivations mirror [[widthCol]]/
+    * [[heightCol]]/[[videoFramesCol]] exactly (hex pairs of sha256(text)),
+    * so the SQL oracle's predictions are unchanged.
+    */
+  def withGifPayload(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col(textCol).cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        it.map { case (id, text) =>
+          if (text == null) (id, null: Array[Byte])
+          else {
+            val sha = graft.functions.Text.sha256HexScalar(text)
+            def hp(pos: Int): Int =
+              Integer.parseInt(sha.substring(pos - 1, pos + 1), 16)
+            (id, encodeGifWith(writer, hp(1) % 32 + 1, hp(3) % 32 + 1,
+              hp(11) % 5 + 2, text.getBytes("UTF-8")))
+          }
+        }
+      }.toDF("doc_id", "payload")
+  }
 
   /** Decode the multi-frame payload (real GIF reader, one per partition)
     * and apply every-2nd-frame temporal subsampling: `sampled_frames`

@@ -56,17 +56,35 @@ object KgPipeline {
   def canonMap(spark: SparkSession, links: DataFrame,
       keyCols: Seq[String] = Seq("repo", "path")): DataFrame = {
     val perDoc = links.select((keyCols :+ "entity_id").map(col): _*).distinct()
-    val a = perDoc.withColumnRenamed("entity_id", "src")
-    val b = perDoc.withColumnRenamed("entity_id", "dst")
-    val edges = a.join(b, keyCols)
-      .filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
+    val edges = starEdges(perDoc, keyCols)
     // vertices from the LINK set, not the edge set: an entity linked in
     // exactly one document with no co-occurring entity has no edge but must
     // still appear in the canon map (as its own canonical id).
     val verts = perDoc.select(col("entity_id")).distinct()
     ConnectedComponents.run(spark, edges, vertices = Some(verts))
       .select(col("id").as("entity_id"), col("component").as("canon_id"))
+  }
+
+  /** STAR edges, not clique edges: each entity connects to its document's
+    * minimum entity (the hub). Connectivity — hence every connected
+    * component — is identical to the all-pairs formulation: two entities
+    * co-occurring in a doc reach each other through the doc's hub, and
+    * cross-doc paths compose hop-by-hop exactly as with cliques. But a doc
+    * linking K entities emits K-1 edge rows instead of K(K-1)/2: the
+    * all-pairs self-join this replaces was the last join-explosion shape in
+    * the flagship pipeline — one hot document linking 10^4 entities (a
+    * README naming every product) would have pushed 5·10^7 rows through a
+    * single join key. The hub comes from a window min over the SAME
+    * relation (one exchange, no self-join); the final distinct collapses
+    * identical star edges produced by different documents.
+    */
+  private[graft] def starEdges(perDoc: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    perDoc
+      .withColumn("src", min(col("entity_id")).over(w))
+      .filter(col("entity_id") =!= col("src"))
+      .select(col("src"), col("entity_id").as("dst")).distinct()
   }
 
   /** Final triple relation:

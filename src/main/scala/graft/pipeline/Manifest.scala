@@ -66,7 +66,14 @@ object Manifest {
     // the whole stage to executor disk; counting the committed parquet is
     // a metadata-cheap scan (row counts from footers, partition values
     // from directory names) and records what was actually written.
-    val committed = spark.read.parquet(out)
+    // The partitioned read re-INFERS partition column types from directory
+    // names: a numeric-looking partition value (repo="1e5", lang="01")
+    // would come back re-typed and render a different manifest key
+    // (100000.0 / 1) than what was written — and once inference has
+    // collapsed "1e5" to 100000.0 no cast recovers the original. Supplying
+    // the source schema to the read skips the inference entirely: partition
+    // directory values are parsed directly as the declared types.
+    val committed = spark.read.schema(df.schema).parquet(out)
     val perPart: Seq[(String, Long)] =
       if (partitionCols.nonEmpty)
         committed.groupBy(partitionCols.map(col): _*).count()
@@ -97,6 +104,37 @@ object Manifest {
       case c => c.toString
     } + "\""
 
+  private def jsonUnescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'u' if i + 5 < s.length + 1 =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => b += other; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** Extract the top-level `input_fingerprint` FIELD from a manifest — a
+    * key-anchored parse, not a substring scan: the fingerprint value
+    * appearing inside another field (a partition name, a future metadata
+    * string) must not read as fresh. Inside an escaped JSON string the
+    * quote characters are `\"`, so the `"input_fingerprint":"` anchor can
+    * only match the real top-level key this writer emitted.
+    */
+  private[graft] def readFingerprint(manifest: String): Option[String] =
+    """"input_fingerprint":"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(manifest)
+      .map(m => jsonUnescape(m.group(1)))
+
   /** Run-or-resume: if the stage has a committed manifest whose input
     * fingerprint matches, read the committed data; otherwise compute,
     * commit, and return the committed relation (so downstream stages read
@@ -105,9 +143,9 @@ object Manifest {
   def runStage(spark: SparkSession, warehouse: String, stage: String,
       partitionCols: Seq[String], inputFingerprint: String)
       (compute: => DataFrame): DataFrame = {
-    val fresh = readManifest(spark, warehouse, stage).exists { m =>
-      m.contains(s""""input_fingerprint":${jsonStr(inputFingerprint)}""")
-    }
+    val fresh = readManifest(spark, warehouse, stage)
+      .flatMap(readFingerprint)
+      .contains(inputFingerprint)
     if (!fresh) {
       writeStage(spark, compute, warehouse, stage, partitionCols, inputFingerprint)
     }

@@ -103,6 +103,26 @@ class CacheLinkCcSpec extends AnyFunSuite {
     assert(got == Map("E01" -> "E01", "E02" -> "E01", "E07" -> "E07"))
   }
 
+  test("J3: hot doc linking 10^4 entities emits LINEAR star edges, same components") {
+    // a clique build would emit K(K-1)/2 ≈ 5·10^7 rows here; the star build
+    // must emit exactly K-1 per doc. Components must match the clique
+    // semantics: d-hot's 10^4 entities are one cluster, bridged to d2's via
+    // the shared E00000.
+    val k = 10000
+    val hot = (0 until k).map(i => ("d-hot", f"E$i%05d"))
+    val other = Seq(("d2", "E00000"), ("d2", "Z1"), ("d3", "Q1"))
+    val links = (hot ++ other).toDF("doc_id", "entity_id")
+    val perDoc = links.distinct()
+    val edges = KgPipeline.starEdges(perDoc, Seq("doc_id"))
+    assert(edges.count() == (k - 1) + 1 + 0,
+      "star edge count must be linear in per-doc entity count")
+    val got = KgPipeline.canonMap(spark, links, Seq("doc_id"))
+      .as[(String, String)].collect().toMap
+    assert(got.size == k + 2)
+    assert(got("Z1") == "E00000" && got(f"E${k - 1}%05d") == "E00000")
+    assert(got("Q1") == "Q1")
+  }
+
   test("O2: retention keeps exactly K most recent; partitioned variant covers all buckets") {
     val rows = (1 to 500).map(i => (f"k$i%04d", s"sent $i", Seq.empty[graft.model.Entity], i.toLong))
       .toDF("k", "sentence", "entities", "ingest_ts")
@@ -243,5 +263,39 @@ class CacheLinkCcSpec extends AnyFunSuite {
 
     val m = Manifest.readManifest(spark, wh, "docs").get
     assert(m.contains("\"rows\":50") && m.contains("\"partitions\":["))
+  }
+
+  test("manifest fingerprint is FIELD-parsed: colliding substring elsewhere doesn't read fresh") {
+    // a partition value that CONTAINS an escaped fingerprint-like blob must
+    // not satisfy the freshness check for that blob; the real field must.
+    val manifest = """{"stage":"s","rows":1,""" +
+      """"input_fingerprint":"fp-REAL",""" +
+      """"partition_cols":["p"],""" +
+      """"partitions":[{"partition":"x\"input_fingerprint\":\"fp-FAKE\"","rows":1}]}"""
+    assert(Manifest.readFingerprint(manifest).contains("fp-REAL"))
+    // escaped value round-trips
+    val esc = """{"input_fingerprint":"a\"b\\c"}"""
+    assert(Manifest.readFingerprint(esc).contains("a\"b\\c"))
+
+    // end-to-end: a fingerprint equal to the FAKE blob must recompute
+    val wh = tmpDir("warehouse-fp")
+    var computes = 0
+    def stage(): DataFrame = { computes += 1; Fixtures.docsDf(10) }
+    Manifest.runStage(spark, wh, "d", Seq("lang"), "fp-1")(stage())
+    assert(computes == 1)
+    Manifest.runStage(spark, wh, "d", Seq("lang"), "fp-2")(stage())
+    assert(computes == 2, "different fingerprint must recompute")
+  }
+
+  test("manifest partition keys keep the source types (no directory-name type re-inference)") {
+    // numeric-looking string partition values ("1e5", "007") must render
+    // verbatim in the manifest, not as re-inferred doubles/ints.
+    val wh = tmpDir("warehouse-types")
+    val df = Seq(("1e5", 1L), ("1e5", 2L), ("007", 3L)).toDF("repo", "v")
+    Manifest.writeStage(spark, df, wh, "t", Seq("repo"))
+    val m = Manifest.readManifest(spark, wh, "t").get
+    assert(m.contains("\"partition\":\"1e5\"") && m.contains("\"partition\":\"007\""),
+      s"manifest rendered re-typed partition keys: $m")
+    assert(!m.contains("100000") && !m.contains("\"partition\":\"7\""))
   }
 }

@@ -30,6 +30,17 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("P6: a lang missing from the remap dim keeps its own value (left join + coalesce)") {
+    // mirrors p6_label_remap's shape with a lang outside the dict: the
+    // oracle CASE keeps it as-is, so the Spark side must not drop the row.
+    val remap = Seq(("en", "en"), ("fr", "other")).toDF("lang", "lang_group")
+    val docs = Seq((1L, "en"), (2L, "fr"), (3L, "xx")).toDF("doc_id", "lang")
+    val got = docs.join(broadcast(remap), Seq("lang"), "left")
+      .select(col("doc_id"), coalesce(col("lang_group"), col("lang")).as("lang_group"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "other", 3L -> "xx"))
+  }
+
   test("oracle SQL exists for every SQL-expressible query; names align") {
     val q = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(q))
@@ -77,6 +88,15 @@ class EndToEndSpec extends AnyFunSuite {
         .collect().head
       assert(row.getString(0) == "a b" && row.getString(1) == "window")
       assert(row.getDouble(2) == 11.0 && row.getInt(3) == 1)
+      // analysis-time input typing: int arrays implicitly cast to
+      // array<double> instead of mis-reading int-backed ArrayData
+      val cast = s2.sql("SELECT dot_product(array(1, 2), array(3, 4)) AS d")
+        .collect().head.getDouble(0)
+      assert(cast == 11.0, s"int-array input must cast, got $cast")
+      // non-castable input fails analysis, not at runtime
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT dot_product('a', 'b')").collect()
+      }
     } finally {
       SparkSession.setDefaultSession(base); SparkSession.setActiveSession(base)
     }
