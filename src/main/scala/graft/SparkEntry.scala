@@ -661,6 +661,26 @@ object SparkEntry {
       Some(s"SELECT qid, nid, rank, cos FROM " +
         s"${Similarity.ivfTopKSqlDuck("vec_id < 10", 3)} z ORDER BY qid, rank")),
 
+    // ---- similarity: IVF over the TRAINED index (real distributed Lloyd's
+    // k-means build, then probe). The oracle replays the ENTIRE training as
+    // a recursive CTE — exact quantized-integer sums make every iteration
+    // bit-identical cross-engine — so the index build itself is gated, not
+    // just the seeded init. Partition-invariance of the build is pinned by
+    // spec (DedupSimSpec).
+    QuerySpec("ann_ivf_trained",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val trained = Similarity.trainCentroids(emb, nlist = 8, iters = 3)
+        Similarity.ivfTopKWith(trained)(emb.filter(col("vec_id") < 10), emb,
+            3, nprobe = 4)
+          .select(col("qid"), col("nid"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"SELECT qid, nid, rank, cos FROM " +
+        s"${Similarity.ivfTopKTrainedSqlDuck("vec_id < 10", 3, nlist = 8, nprobe = 4, iters = 3)} z " +
+        "ORDER BY qid, rank")),
+
     // ---- text analysis: language ID ----------------------------------------
     QuerySpec("lang_id",
       (s, dir) => cleanedDocs(s, dir)
@@ -877,6 +897,55 @@ object SparkEntry {
         "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
         "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
         "FROM orders) w WHERE rn <= 3 ORDER BY o_custkey, rn")),
+
+    // ---- S5: XML corpus ingest (reference notebook cells 2-7) ----------------
+    // Reference-shaped article XML is synthesized deterministically from
+    // `documents` IN the query (the driver corpus has no XML table) and
+    // extracted back through XmlCorpus.articles — the REAL XPath layer runs:
+    // category filter, department xpath, bodytext text() collection with the
+    // location/em dateline EXCLUDED, entity escaping round-trip. The oracle
+    // predicts the extraction from the same synthesis arithmetic (the
+    // mm_pixels trick): every 7th doc is a non-article, every 5th has an
+    // empty department, the rest yield (dept-<lang>, cleanup chain of text).
+    QuerySpec("s5_xml",
+      (s, dir) => graft.sources.XmlCorpus.articles(
+          Tables.documents(s, dir).select(col("doc_id"),
+            graft.sources.XmlCorpus.syntheticArticleXml(
+              col("doc_id"), col("lang"), col("text")).as("xml")))
+        .select("doc_id", "department", "content")
+        .orderBy("doc_id"),
+      Some {
+        val t = graft.sources.XmlCorpus.sanitizeSqlDuck("text")
+        s"""WITH base AS (SELECT doc_id, lang, $t AS t FROM documents
+          |  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0),
+          |cl AS (SELECT doc_id, lang, ${Text.cleanupSqlDuck("t")} AS ct FROM base)
+          |SELECT doc_id, 'dept-' || lang AS department,
+          |  ${Text.datelineStripSqlDuck("ct")} AS content
+          |FROM cl ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- S2: reference ndjson cache import (cacheServer.py:25-39) ------------
+    // One reference-format line per doc — `{"<sentence>": {"<LABEL>":
+    // ["<text>", ...]}}` — is synthesized with to_json (REAL JSON escaping
+    // of the raw corpus text: quotes, backslashes, control chars) and fed
+    // through the S2 parser (from_json with the reference MapType schema +
+    // explode + re-key). The oracle predicts the parsed output from the
+    // synthesis arithmetic: a schema-nesting or escaping bug on either the
+    // serialize or the parse side diverges.
+    QuerySpec("s2_ndjson_import",
+      (s, dir) => {
+        val lines = Tables.documents(s, dir).select(
+          to_json(map(col("text"),
+            map(lit("LOC"), array(col("lang")),
+              lit("ORG"), array(col("source"))))).as("value"))
+        TagCache.parseReferenceNdjson(lines)
+          .select(col("k"), col("sentence"),
+            to_json(col("entity_map")).as("entity_map_json"))
+          .orderBy("k")
+      },
+      Some(s"SELECT ${Text.sha256SqlDuck("text")} AS k, text AS sentence, " +
+        """'{"LOC":["' || lang || '"],"ORG":["' || source || '"]}' AS entity_map_json """ +
+        "FROM documents ORDER BY k")),
 
     // ---- streaming twin (batch-equivalent windowed agg; the true
     // Structured Streaming path is exercised in tests) --------------------------

@@ -188,18 +188,31 @@ object Similarity {
     }
   }
 
+  /** Quantization scale for the training sums: per-dim embedding values
+    * are scaled by 2^20 and floored to integers before summing, so the
+    * cross-partition sums are EXACT — order/partition-invariant like the
+    * round-2 decimal sums, but additionally replayable bit-identically by
+    * the DuckDB oracle: `x * 2^20` is exact IEEE arithmetic (power-of-two
+    * scale), `floor` is unambiguous in both engines (no half-way rounding
+    * mode to match, unlike double→decimal casts), and exact-integer→double
+    * conversions are correctly rounded everywhere. Precision cost on the
+    * cell means is ~1e-6 per dim — irrelevant to assignment quality.
+    */
+  val quantScale: Long = 1L << 20
+
   /** Deterministic distributed Lloyd's k-means over the corpus embeddings —
     * the IVF index-build pass. Seeded init ([[centroids]]), fixed iteration
-    * count, and DECIMAL(28,12) per-dimension sums so the result is
-    * bit-stable across partitionings and re-runs (double addition is not
-    * associative; resumability demands run-independent centroids). Each
-    * iteration is one map-side assignment + one 2·d-aggregate groupBy over
-    * nlist cells; only the (nlist × d) centroid matrix ever reaches the
-    * driver. Empty cells keep their previous centroid.
+    * count, and exact quantized-integer per-dimension sums ([[quantScale]])
+    * so the result is bit-stable across partitionings, re-runs, and
+    * engines (double addition is not associative; resumability demands
+    * run-independent centroids, and the driver gate replays the whole
+    * training in SQL). Each iteration is one map-side assignment + one
+    * 2·d-aggregate groupBy over nlist cells; only the (nlist × d) centroid
+    * matrix ever reaches the driver. Empty cells keep their previous
+    * centroid.
     */
   def trainCentroids(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
       seed: Long = 7L, d: Int = dim): Array[Array[Double]] = {
-    import org.apache.spark.sql.types.DecimalType
     var cents = centroids(nlist, seed, d)
     val emb = corpus.select(col("embedding").cast("array<double>").as("e"))
     (1 to iters).foreach { _ =>
@@ -207,7 +220,8 @@ object Similarity {
         struct(dot(col("e"), typedLit(c.toSeq)).as("s"), lit(i).as("cell"))
       }.reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
       val sums = (0 until d).map(i =>
-        sum(element_at(col("e"), i + 1).cast(DecimalType(28, 12))).as(s"s$i"))
+        sum(floor(element_at(col("e"), i + 1) * quantScale).cast("long"))
+          .as(s"s$i"))
       val rows = emb.withColumn("cell", cell.getField("cell"))
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), sums: _*)
@@ -217,13 +231,69 @@ object Similarity {
         val n = r.getAs[Long]("n")
         if (n > 0) {
           val mean = (0 until d).map(i =>
-            (r.getAs[java.math.BigDecimal](s"s$i").doubleValue() / n)).toArray
+            r.getAs[Long](s"s$i").toDouble / (n * quantScale).toDouble).toArray
           val norm = math.sqrt(mean.map(x => x * x).sum)
           cents(ci) = if (norm > 0) mean.map(_ / norm) else cents(ci)
         }
       }
     }
     cents
+  }
+
+  /** DuckDB twin of [[trainCentroids]] + [[ivfTopKWith]]: the ENTIRE index
+    * build is replayed in SQL as a recursive CTE — seeded init centroids as
+    * literals, then `iters` Lloyd iterations with first-max-wins assignment
+    * (max score, min cell on ties — the Scala fold's semantics), exact
+    * quantized-integer dimension sums, and zero-norm/empty cells carrying
+    * the previous centroid forward — followed by the same IVF probe/rank
+    * as [[ivfTopKSqlDuck]] over the TRAINED centroids. Every arithmetic
+    * step is bit-exact cross-engine (see [[quantScale]]), so this gates the
+    * index build itself, not just the seeded init.
+    */
+  def ivfTopKTrainedSqlDuck(probeWhere: String, k: Int, nlist: Int = 8,
+      nprobe: Int = 4, iters: Int = 3, seed: Long = 7L): String = {
+    val q = quantScale
+    val centLits = centroids(nlist, seed).map(vecLit).mkString("[", ", ", "]")
+    s"""(WITH RECURSIVE
+      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |train(it, cell, cv) AS (
+      |  SELECT 0, cell, cv FROM (SELECT unnest(range(0, $nlist)) AS cell,
+      |    unnest(CAST($centLits AS DOUBLE[][])) AS cv) init
+      |  UNION ALL
+      |  (WITH cur AS MATERIALIZED (SELECT * FROM train WHERE it < $iters),
+      |  scored AS (SELECT v.vec_id, c.cell, ${dotSqlDuck("v.e", "c.cv")} AS s
+      |    FROM emb v CROSS JOIN cur c),
+      |  best AS (SELECT vec_id, max(s) AS ms FROM scored GROUP BY vec_id),
+      |  assign AS (SELECT s.vec_id, min(s.cell) AS cell FROM scored s
+      |    JOIN best b ON s.vec_id = b.vec_id AND s.s = b.ms GROUP BY s.vec_id),
+      |  dims AS (SELECT a.cell, u.i AS i,
+      |      CAST(floor(v.e[CAST(u.i AS INT)] * $q) AS BIGINT) AS qv
+      |    FROM assign a JOIN emb v USING (vec_id), unnest(range(1, ${dim + 1})) u(i)),
+      |  agg AS (SELECT cell, i, sum(qv) AS sq FROM dims GROUP BY cell, i),
+      |  cnt AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell),
+      |  mn AS (SELECT g.cell,
+      |      list(CAST(g.sq AS DOUBLE) / CAST(c.n * $q AS DOUBLE) ORDER BY g.i) AS mv
+      |    FROM agg g JOIN cnt c USING (cell) GROUP BY g.cell),
+      |  nrm AS (SELECT cell, mv,
+      |      sqrt(list_reduce(list_transform(mv, x -> x * x), (a, b) -> a + b)) AS norm
+      |    FROM mn),
+      |  newc AS (SELECT cell, list_transform(mv, x -> x / norm) AS cv
+      |    FROM nrm WHERE norm > 0)
+      |  SELECT cur.it + 1, cur.cell, coalesce(n2.cv, cur.cv)
+      |  FROM cur LEFT JOIN newc n2 USING (cell))
+      |),
+      |cents AS (SELECT cell, cv FROM train WHERE it = $iters),
+      |c0 AS (SELECT vec_id AS nid, e AS ce FROM emb),
+      |q0 AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE $probeWhere),
+      |cscore AS (SELECT nid, cell, ${dotSqlDuck("ce", "cv")} AS s FROM c0 CROSS JOIN cents),
+      |cassign AS (SELECT nid, cell FROM cscore QUALIFY row_number() OVER (PARTITION BY nid ORDER BY s DESC, cell DESC) = 1),
+      |qscore AS (SELECT qid, cell, ${dotSqlDuck("qe", "cv")} AS s FROM q0 CROSS JOIN cents),
+      |qprobe AS (SELECT qid, cell FROM qscore QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, cell DESC) <= $nprobe),
+      |cand AS (SELECT qid, nid FROM qprobe JOIN cassign USING (cell) WHERE qid <> nid),
+      |scored2 AS (SELECT qid, nid, (${dotSqlDuck("qe", "ce")}) / (sqrt(${dotSqlDuck("qe", "qe")}) * sqrt(${dotSqlDuck("ce", "ce")})) AS cos
+      |  FROM cand JOIN q0 USING (qid) JOIN c0 USING (nid)),
+      |ranked AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM scored2)
+      |SELECT qid, nid, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= $k)""".stripMargin
   }
 
   /** [[ivfTopK]] with externally supplied (e.g. trained) centroids. */

@@ -105,11 +105,19 @@ object TagCache {
     * (the reference's uuid5 keys are derivable from the same sentence, so
     * re-keying is lossless).
     */
-  def importReferenceNdjson(spark: SparkSession, path: String): DataFrame = {
+  def importReferenceNdjson(spark: SparkSession, path: String): DataFrame =
+    parseReferenceNdjson(spark.read.text(path))
+
+  /** The parse half of [[importReferenceNdjson]] over an in-memory `value`
+    * line column — lets the driver gate exercise the reference-format
+    * parser on lines synthesized from `documents` without a filesystem
+    * fixture.
+    */
+  def parseReferenceNdjson(lines: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = MapType(StringType,
       MapType(StringType, ArrayType(StringType)))
-    spark.read.text(path)
+    lines
       .select(from_json(col("value"), schema).as("m"))
       .select(explode(col("m")).as(Seq("sentence", "entity_map")))
       .withColumn(keyCol, Text.sha256Hex(col("sentence")))

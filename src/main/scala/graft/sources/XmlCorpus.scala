@@ -61,4 +61,53 @@ object XmlCorpus {
   def fasttextLine(df: DataFrame): DataFrame =
     df.select(concat(lit("__label__"), trim(col("department")), lit(" "),
       trim(col("content"))).as("line"))
+
+  // ---- deterministic fixture synthesis (driver-gate oracle support) -------
+  // The driver corpus has no XML table, so the s5_xml gate synthesizes
+  // reference-shaped article XML from `documents` IN the query and lets
+  // [[articles]] extract it back; the DuckDB oracle predicts the extraction
+  // from the same synthesis arithmetic (the mm_pixels trick). The XML layer
+  // is therefore genuinely exercised: category filter, department xpath,
+  // bodytext text() collection with location/em exclusion, and entity
+  // escaping all run through the real parser on the Spark side.
+
+  /** XML 1.0 forbids C0 control chars except TAB/LF/CR — strip them before
+    * embedding corpus text in a document. CR is additionally normalized to
+    * LF (`\r\n`/`\r` → `\n`) because every conforming XML parser performs
+    * exactly that line-ending normalization on parse (XML 1.0 §2.11);
+    * doing it in the synthesis step makes it a round-trip no-op, so the
+    * SQL twin ([[sanitizeSqlDuck]]) can predict the parsed text exactly.
+    */
+  def sanitizeXmlText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "\\r\\n|\\r", "\n"),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+
+  def sanitizeSqlDuck(e: String): String =
+    s"regexp_replace(regexp_replace($e, '\\r\\n|\\r', chr(10), 'g'), " +
+      s"'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')"
+
+  private def xmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      sanitizeXmlText(c), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** Reference-shaped article XML: every 7th doc is a non-article category
+    * (dropped by [[isArticle]]), every 5th carries an empty department
+    * (dropped by the department filter); the bodytext paragraph carries a
+    * `<location>`/`<em class="source">` dateline pair the extraction must
+    * EXCLUDE, plus the (escaped) document text the parser un-escapes back.
+    */
+  def syntheticArticleXml(docId: Column, lang: Column, text: Column): Column = {
+    val cat = when(docId % 7 === 0, "newsletter").otherwise("cms-article")
+    val dept = when(docId % 5 === 0, lit("")).otherwise(concat(lit("dept-"), lang))
+    concat(
+      lit("<item><category scope=\""), cat, lit("\"/>"),
+      lit("<corpus><p class=\"bodytext\">"),
+      lit("<location>Berlin</location><em class=\"source\">(Agentur)</em>"),
+      xmlEscape(text),
+      lit("</p></corpus>"),
+      lit("<related rel=\"department\"><directory><meta>"),
+      lit("<id scope=\"url\">"), dept, lit("</id>"),
+      lit("</meta></directory></related></item>"))
+  }
 }

@@ -152,7 +152,7 @@ class DedupSimSpec extends AnyFunSuite {
     assert(full == brute)
   }
 
-  test("ANN: IVF k-means training — partition-invariant (decimal sums); full-probe ≡ brute") {
+  test("ANN: IVF k-means training — partition-invariant (exact quantized sums); full-probe ≡ brute") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val c1 = Similarity.trainCentroids(emb.repartition(7), nlist = 8, iters = 3)
     val c2 = Similarity.trainCentroids(emb.repartition(3), nlist = 8, iters = 3)

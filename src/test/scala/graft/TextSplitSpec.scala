@@ -246,6 +246,34 @@ class TextSplitSpec extends AnyFunSuite {
     assert(line.startsWith("__label__p4616 ") && line.contains("Der erste Absatz."))
   }
 
+  test("S5 synthesis: escaping-hostile text round-trips the real XML parser") {
+    import graft.sources.XmlCorpus
+    // &, <, >, quotes, entity look-alikes, CR/LF, tab, and an XML-invalid
+    // control char (U+0001, stripped by sanitize) — the parse must hand
+    // back the sanitized original, dateline pair excluded.
+    val hostile = "a & b <tag> \"q\" &amp; &#x41; \r\n line2 \r lone\tTab\u0001end"
+    val df = Seq((3L, "de", hostile)).toDF("doc_id", "lang", "text")
+      .select(col("doc_id"),
+        XmlCorpus.syntheticArticleXml(col("doc_id"), col("lang"), col("text")).as("xml"))
+    val got = XmlCorpus.articles(df)
+      .select("doc_id", "department", "content")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(3L) && got.head._2 == "dept-de")
+    // expected = cleanup(dateline(sanitized)): \r\n and \r normalize to \n
+    // pre-embed (parser-mandated), U+0001 stripped, then the P1 chain
+    val sanitized = "a & b <tag> \"q\" &amp; &#x41; \n line2 \n lone\tTabend"
+    val expected = graft.functions.Text.datelineStripScalar(
+      graft.functions.Text.cleanupScalar(sanitized))
+    assert(got.head._3 == expected, s"got <${got.head._3}> want <$expected>")
+    assert(!got.head._3.contains("Berlin") && !got.head._3.contains("Agentur"))
+    // the two drop rules
+    val drops = Seq((7L, "en", "x"), (5L, "en", "y"), (4L, "en", "z"))
+      .toDF("doc_id", "lang", "text")
+      .select(col("doc_id"),
+        XmlCorpus.syntheticArticleXml(col("doc_id"), col("lang"), col("text")).as("xml"))
+    assert(XmlCorpus.articles(drops).select("doc_id").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("G3 chunk: short text passes through whole (ner.py:181,204)") {
     val df = Seq((1L, "short text. stays whole.")).toDF("doc_id", "content")
     val out = Chunker.explodeChunks(df, maxNoSplit = 500)
