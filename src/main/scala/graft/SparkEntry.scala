@@ -331,6 +331,37 @@ object SparkEntry {
         "WHERE k NOT IN (SELECT k FROM keyed WHERE doc_id < 100) " +
         "GROUP BY k ORDER BY k")),
 
+    // ---- J1 (bucketed scale path): the co-located cache join, rows-gated.
+    // DuckDB cannot see Spark bucket metadata, so the plan property (cache
+    // side contributes NO exchange) stays spec-asserted; this query gates
+    // what an oracle CAN check — that the bucketed path returns row-for-row
+    // the same relation as a plain join. The bucketed table is (re)built
+    // deterministically from `documents` at an external /tmp path each run.
+    QuerySpec("j1_bucketed_cache",
+      (s, dir) => {
+        val keyed = Tables.documents(s, dir)
+          .select(col("doc_id"), Text.sha256Hex(col("text")).as("k"))
+        val cache = Tables.documents(s, dir)
+          .filter(col("doc_id") % 3 === 0)
+          .groupBy(Text.sha256Hex(col("text")).as("k"))
+          .agg(min(col("doc_id")).as("cached_doc"))
+        s.sql("DROP TABLE IF EXISTS graft_bucketed_cache")
+        cache.write.format("parquet")
+          .bucketBy(8, "k").sortBy("k")
+          .option("path", "/tmp/graft_bucketed_cache")
+          .mode("overwrite")
+          .saveAsTable("graft_bucketed_cache")
+        keyed.join(s.table("graft_bucketed_cache"), Seq("k"), "left")
+          .select(col("doc_id"), col("k"),
+            coalesce(col("cached_doc"), lit(-1L)).as("cached_doc"))
+          .orderBy("doc_id")
+      },
+      Some("WITH keyed AS (SELECT doc_id, sha256(text) AS k FROM documents), " +
+        "cache AS (SELECT sha256(text) AS k, min(doc_id) AS cached_doc " +
+        "FROM documents WHERE doc_id % 3 = 0 GROUP BY 1) " +
+        "SELECT keyed.doc_id, keyed.k, coalesce(cache.cached_doc, -1) AS cached_doc " +
+        "FROM keyed LEFT JOIN cache USING (k) ORDER BY doc_id")),
+
     // ---- J2: entity linking (north-star; broadcast dict + window pick) --
     // Label-free on BOTH sides: the link winner is a function of
     // (doc, mention) alone, so a mention that ever matched two patterns
