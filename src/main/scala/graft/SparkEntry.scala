@@ -345,10 +345,15 @@ object SparkEntry {
           .filter(col("doc_id") % 3 === 0)
           .groupBy(Text.sha256Hex(col("text")).as("k"))
           .agg(min(col("doc_id")).as("cached_doc"))
+        // external path keyed by the Spark application id: concurrent
+        // apps (a Verify dump during a Bench sweep) must not clobber each
+        // other's table data; /dev/shm keeps the per-rep rewrite off the
+        // jittery /tmp virtio disk the bench protocol avoids for shuffle.
+        val path = s"/dev/shm/graft_bucketed_cache_${s.sparkContext.applicationId}"
         s.sql("DROP TABLE IF EXISTS graft_bucketed_cache")
         cache.write.format("parquet")
           .bucketBy(8, "k").sortBy("k")
-          .option("path", "/tmp/graft_bucketed_cache")
+          .option("path", path)
           .mode("overwrite")
           .saveAsTable("graft_bucketed_cache")
         keyed.join(s.table("graft_bucketed_cache"), Seq("k"), "left")
@@ -972,11 +977,27 @@ object SparkEntry {
         TagCache.parseReferenceNdjson(lines)
           .select(col("k"), col("sentence"),
             to_json(col("entity_map")).as("entity_map_json"))
-          .orderBy("k")
+          // (k, entity_map_json) is a TOTAL order: duplicate texts share k
+          // but then differ (or coincide entirely) in the map json — k
+          // alone breaks the total-ORDER-BY invariant when a corpus
+          // carries duplicate texts with different lang/source.
+          .orderBy("k", "entity_map_json")
       },
-      Some(s"SELECT ${Text.sha256SqlDuck("text")} AS k, text AS sentence, " +
-        """'{"LOC":["' || lang || '"],"ORG":["' || source || '"]}' AS entity_map_json """ +
-        "FROM documents ORDER BY k")),
+      Some {
+        // JSON-escape the embedded values exactly as Spark's to_json
+        // (Jackson) does for the realistic character classes: backslash
+        // first, then quote, then the named control escapes. A lang/source
+        // carrying other control chars would still diverge — none can
+        // survive parquet string columns of this corpus, and the sentence
+        // (the interesting escaping case) is output as a PLAIN column.
+        def esc(x: String) =
+          s"replace(replace(replace(replace(replace($x, " +
+            s"'\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), " +
+            s"chr(13), '\\r'), chr(9), '\\t')"
+        s"SELECT ${Text.sha256SqlDuck("text")} AS k, text AS sentence, " +
+          s"""'{"LOC":["' || ${esc("lang")} || '"],"ORG":["' || ${esc("source")} || '"]}' AS entity_map_json """ +
+          "FROM documents ORDER BY k, entity_map_json"
+      }),
 
     // ---- streaming twin (batch-equivalent windowed agg; the true
     // Structured Streaming path is exercised in tests) --------------------------

@@ -113,7 +113,9 @@ object Manifest {
         s.charAt(i + 1) match {
           case '"' => b += '"'; i += 2
           case '\\' => b += '\\'; i += 2
-          case 'u' if i + 5 < s.length + 1 =>
+          case 'u' if i + 6 <= s.length &&
+              s.substring(i + 2, i + 6).forall(c =>
+                Character.digit(c, 16) >= 0) =>
             b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
             i += 6
           case other => b += other; i += 2

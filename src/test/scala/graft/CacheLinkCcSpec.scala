@@ -276,6 +276,12 @@ class CacheLinkCcSpec extends AnyFunSuite {
     // escaped value round-trips
     val esc = """{"input_fingerprint":"a\"b\\c"}"""
     assert(Manifest.readFingerprint(esc).contains("a\"b\\c"))
+    // corrupt manifests must parse leniently, not throw: a truncated or
+    // invalid \u escape degrades to literal chars (stage then recomputes)
+    assert(Manifest.readFingerprint("{\"input_fingerprint\":\"x\\u004\"}")
+      .contains("xu004"))
+    assert(Manifest.readFingerprint("{\"input_fingerprint\":\"x\\uZZZZy\"}")
+      .contains("xuZZZZy"))
 
     // end-to-end: a fingerprint equal to the FAKE blob must recompute
     val wh = tmpDir("warehouse-fp")

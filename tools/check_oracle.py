@@ -24,11 +24,12 @@ def norm(v):
         return repr(v)
     return str(v)
 
-fails, passes, skips = [], 0, 0
+fails, passes, skips, missing = [], 0, 0, 0
 for name in sorted(oracle):
     res_dir = f"{out_dir}/{name}"
     if not os.path.isdir(res_dir):
         if "--only-existing" in sys.argv:  # local iteration on a filtered dump
+            missing += 1
             continue
         fails.append((name, "no spark output"))
         continue
@@ -70,6 +71,11 @@ for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
     print(f"{status} {name} ({n} rows)")
     skips += 1
 
+if missing:
+    print(f"(--only-existing: skipped {missing} queries with no dump)")
+    if passes == 0 and not fails and skips == 0:
+        print("FAIL: nothing was checked — query-name typo in the Verify filter?")
+        sys.exit(1)
 print(f"\n{passes} pass, {len(fails)} fail, {skips} rows-only")
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
