@@ -41,6 +41,23 @@ class EndToEndSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "other", 3L -> "xx"))
   }
 
+  test("S2 oracle escape chain == Spark to_json escaping on hostile values") {
+    // the s2_ndjson_import oracle predicts entity_map_json with a SQL
+    // replace-chain (backslash, quote, \n, \r, \t — Jackson's named
+    // escapes); the fixture's lang/source are alphanumeric so the driver
+    // gate never exercises it — pin the parity here on hostile values.
+    def oracleEsc(x: String): String = x
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    val hostiles = Seq("plain", "q\"uote", "back\\slash", "nl\nline",
+      "cr\rret", "tab\there", "mix\\\"\n\t\r end")
+    val got = hostiles.toDF("v")
+      .select(to_json(map(lit("LOC"), array(col("v")))).as("j"))
+      .as[String].collect().toSeq
+    val want = hostiles.map(v => s"""{"LOC":["${oracleEsc(v)}"]}""")
+    assert(got == want, s"to_json escaping diverged from the oracle chain:\n$got\n$want")
+  }
+
   test("oracle SQL exists for every SQL-expressible query; names align") {
     val q = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(q))
