@@ -12,6 +12,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    // custom physical operators (LocalDistinct — shuffle-free dedup for
+    // co-partitioned-duplicate relations, plans/LocalDistinct.scala)
+    ext.injectPlannerStrategy(_ => graft.plans.LocalDistinct.Planner)
     ext.injectFunction((
       FunctionIdentifier("split_sentences"),
       new ExpressionInfo(classOf[graft.expressions.SplitSentences].getName,

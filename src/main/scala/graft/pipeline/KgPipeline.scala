@@ -92,7 +92,8 @@ object KgPipeline {
     * (canonical when `canonicalize`), with (repo, lang) provenance.
     */
   def triples(spark: SparkSession, docs: DataFrame,
-      canonicalize: Boolean = false, sentenceLevel: Boolean = false): DataFrame = {
+      canonicalize: Boolean = false, sentenceLevel: Boolean = false,
+      assumeUniqueDocs: Boolean = true): DataFrame = {
     val mentions = if (sentenceLevel) sentenceMentions(docs) else docMentions(docs)
     val linked = links(spark, mentions)
     val resolved =
@@ -107,8 +108,22 @@ object KgPipeline {
     // once per surviving row instead of once per mention occurrence. (It is
     // also the domain-correct key: dedup on the concatenated subj would
     // merge distinct docs whose repo/path happen to concat-collide.)
-    resolved.select("repo", "path", "commit", "lang", "label", "obj")
-      .distinct()
+    //
+    // With `assumeUniqueDocs` (default — (repo, path, commit) is the doc
+    // table's primary key per the input contract), the dedup is the
+    // custom SHUFFLE-FREE LocalDistinct operator: every duplicate triple
+    // derives from ONE document row through a narrow lineage (explode →
+    // filter → broadcast join → project never move rows across
+    // partitions), so equal rows are always co-partitioned and the global
+    // distinct's full-relation hash exchange — the single largest data
+    // movement in the flagship job — carries zero information. Inputs
+    // that may contain the same document twice must pass
+    // assumeUniqueDocs = false to get the exchange-based distinct.
+    val narrow = resolved.select("repo", "path", "commit", "lang", "label", "obj")
+    val deduped =
+      if (assumeUniqueDocs) graft.plans.LocalDistinct.of(narrow)
+      else narrow.distinct()
+    deduped
       .select(
         concat_ws("@", concat_ws("/", col("repo"), col("path")), col("commit"))
           .as("subj"),

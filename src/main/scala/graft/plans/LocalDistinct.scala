@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** `LocalDistinct` — exact DISTINCT with NO exchange, for relations whose
+  * duplicate rows are provably co-partitioned.
+  *
+  * The flagship triple build is the motivating case: every duplicate
+  * triple of one document derives from that document's single input row
+  * (doc → sentences → mentions → links is a narrow lineage — explode,
+  * filter, broadcast join, project never move rows across partitions),
+  * and (repo, path, commit) is the document table's primary key, so
+  * duplicates of a triple can never sit in two partitions. A global
+  * `distinct()` still hash-exchanges the full relation — at the bench's
+  * 384× replication that is ~9M × ~90-byte rows through the shuffle for
+  * information the lineage already guarantees. This operator dedups each
+  * partition with an UnsafeRow hash set (byte-wise equality, rows stay
+  * in Tungsten format — no object conversion) and preserves the child's
+  * partitioning/ordering.
+  *
+  * CONTRACT (caller-asserted, not Catalyst-provable — which is exactly
+  * why this is a custom operator and not an optimizer rewrite): equal
+  * rows never occur in different partitions of the child. Violating it
+  * silently keeps cross-partition duplicates; `KgPipeline.triples` only
+  * uses it under the documented doc-PK assumption and keeps the global
+  * `distinct()` as the `assumeUniqueDocs = false` fallback. Memory: one
+  * hash set of the partition's OWN distinct rows — same order as the
+  * hash aggregate a global distinct would run, minus spill support; the
+  * fallback is the spill-safe path for adversarial partition sizes.
+  */
+final case class LocalDistinct(child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  // EVERY child column participates in the dedup key: without this,
+  // ColumnPruning sees a node with no expressions and prunes the child
+  // down to whatever the PARENT needs (for a bare count, nothing) —
+  // silently changing what "distinct" means. Claiming the full child
+  // output as references pins the row shape.
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    child.outputSet
+  override protected def withNewChildInternal(newChild: LogicalPlan): LocalDistinct =
+    copy(child = newChild)
+}
+
+final case class LocalDistinctExec(child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+  override def outputOrdering = child.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { it =>
+      // rows may arrive as non-Unsafe (e.g. from a Generate); project to
+      // UnsafeRow once so equality/hashCode are byte-wise
+      val toUnsafe = UnsafeProjection.create(child.output, child.output)
+      val seen = new java.util.HashSet[UnsafeRow]()
+      it.flatMap { row =>
+        val u = row match {
+          case ur: UnsafeRow => ur
+          case other => toUnsafe(other)
+        }
+        if (seen.contains(u)) None
+        else {
+          val copy = u.copy()
+          seen.add(copy)
+          Some(copy)
+        }
+      }
+    }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): LocalDistinctExec =
+    copy(child = newChild)
+}
+
+object LocalDistinct {
+
+  /** Apply to a DataFrame; registers the strategy in the session once. */
+  def of(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    org.apache.spark.sql.graft.ColumnBridge.dataFrame(spark,
+      LocalDistinct(org.apache.spark.sql.graft.ColumnBridge.logicalPlan(df)))
+  }
+
+  def register(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[Planner.type]))
+      spark.experimental.extraStrategies = cur :+ Planner
+  }
+
+  /** The actual strategy (uses planLater for the child). */
+  object Planner extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case LocalDistinct(child) => LocalDistinctExec(planLater(child)) :: Nil
+      case _ => Nil
+    }
+  }
+}

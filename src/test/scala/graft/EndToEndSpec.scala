@@ -119,6 +119,39 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("LocalDistinct: shuffle-free dedup ≡ global distinct on the flagship; contract pinned") {
+    import graft.plans.LocalDistinct
+    // flagship equivalence: the narrow-lineage co-partitioning argument
+    // must make the custom operator row-identical to the exchange path
+    val docs = Tables.docsDf(spark, dir)
+    val local = KgPipeline.triples(spark, docs, sentenceLevel = true)
+      .as[(String, String, String, String, String)].collect().sorted.toSeq
+    val global = KgPipeline.triples(spark, docs, sentenceLevel = true,
+        assumeUniqueDocs = false)
+      .as[(String, String, String, String, String)].collect().sorted.toSeq
+    assert(local == global && local.nonEmpty)
+
+    // operator semantics: intra-partition duplicates removed...
+    val one = spark.range(0, 100).select((col("id") % 5).as("v")).coalesce(1)
+    assert(LocalDistinct.of(one).count() == 5)
+    // ...cross-partition duplicates KEPT — the documented contract edge
+    // (callers must guarantee co-partitioned duplicates; `triples` does
+    // via the doc-PK + narrow-lineage argument)
+    val spread = spark.range(0, 4).select(lit("dup").as("v")).repartition(4)
+    assert(LocalDistinct.of(spread).count() > 1)
+
+    // plan shape: the dedup itself inserts NO exchange (a global distinct
+    // on the same relation plans one)
+    val rel = docs.select("repo", "path")
+    val plan = LocalDistinct.of(rel).queryExecution.executedPlan.toString
+    assert(plan.contains("LocalDistinct"), plan)
+    assert(!plan.contains("Exchange"),
+      s"LocalDistinct must not exchange:\n$plan")
+    assert(rel.distinct().queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "control: the global distinct on the same relation does exchange")
+  }
+
   test("stage registry composes to the same result as the hand-built pipeline") {
     import graft.pipeline.Stage
     val docs = Tables.docsDf(spark, dir)
