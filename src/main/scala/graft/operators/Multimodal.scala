@@ -151,18 +151,35 @@ object Multimodal {
     val rowSize = ((w * 3 + 3) / 4) * 4
     val out = new Array[Byte](54 + rowSize * h)
     writeBmpHeader(out, w, h)
-    var y = 0
-    while (y < h) {
-      val off = 54 + (h - 1 - y) * rowSize
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        out(off + x * 3) = (rgb & 0xff).toByte
-        out(off + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte
-        out(off + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte
-        x += 1
-      }
-      y += 1
+    // TYPE_3BYTE_BGR's raster byte order is [B, G, R] per pixel — the BMP
+    // pixel order — so a canonical-stride raster encodes by plain row
+    // copies (reversed: BMP rows are bottom-up); per-pixel getRGB pays a
+    // color-model conversion per call (BENCH.md §18) and remains only as
+    // the fallback for other layouts.
+    img.getRaster.getDataBuffer match {
+      case b: java.awt.image.DataBufferByte
+          if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+            b.getData.length == w * h * 3 =>
+        val data = b.getData
+        var y = 0
+        while (y < h) {
+          System.arraycopy(data, y * w * 3, out, 54 + (h - 1 - y) * rowSize, w * 3)
+          y += 1
+        }
+      case _ =>
+        var y = 0
+        while (y < h) {
+          val off = 54 + (h - 1 - y) * rowSize
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(off + x * 3) = (rgb & 0xff).toByte
+            out(off + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+            out(off + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
     }
     out
   }
@@ -185,18 +202,43 @@ object Multimodal {
           reader.setInput(iis)
           val img = reader.read(0)
           iis.close()
+          val w = img.getWidth
           val w2 = math.max(1, img.getWidth / 2)
           val h2 = math.max(1, img.getHeight / 2)
           val scaled = new java.awt.image.BufferedImage(w2, h2,
             java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          var y = 0
-          while (y < h2) {
-            var x = 0
-            while (x < w2) {
-              scaled.setRGB(x, y, img.getRGB(x * 2, y * 2))
-              x += 1
-            }
-            y += 1
+          // NN sample (x, y) <- (2x, 2y): when both rasters are canonical
+          // 3-byte BGR, move the 3 pixel bytes directly — same values as
+          // the setRGB/getRGB pair, minus two color-model conversions per
+          // pixel (BENCH.md §18); fallback for other source layouts.
+          (img.getRaster.getDataBuffer, scaled.getRaster.getDataBuffer) match {
+            case (sb: java.awt.image.DataBufferByte,
+                db: java.awt.image.DataBufferByte)
+                if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+                  sb.getData.length == w * img.getHeight * 3 =>
+              val src = sb.getData
+              val dst = db.getData
+              var y = 0
+              while (y < h2) {
+                var x = 0
+                while (x < w2) {
+                  val s = (y * 2 * w + x * 2) * 3
+                  val d = (y * w2 + x) * 3
+                  dst(d) = src(s); dst(d + 1) = src(s + 1); dst(d + 2) = src(s + 2)
+                  x += 1
+                }
+                y += 1
+              }
+            case _ =>
+              var y = 0
+              while (y < h2) {
+                var x = 0
+                while (x < w2) {
+                  scaled.setRGB(x, y, img.getRGB(x * 2, y * 2))
+                  x += 1
+                }
+                y += 1
+              }
           }
           val outBytes = encodeBmpFromImage(scaled)
           ResizedMeta(id, img.getWidth, img.getHeight, w2, h2,
@@ -240,16 +282,31 @@ object Multimodal {
           reader.setInput(iis)
           val img = reader.read(0)
           iis.close()
+          // channel-byte sum: when the reader hands back a 3-byte raster
+          // (the JDK BMP reader's shape for 24-bpp), sum the backing array
+          // directly — per-pixel getRGB pays a color-model conversion per
+          // call (the same hot spot the GIF encoder had, BENCH.md §18);
+          // any other layout falls back to the per-pixel path. Both sum
+          // r+g+b per pixel, so the value is identical (oracle-pinned).
           var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sum += (rgb & 0xff) + ((rgb >> 8) & 0xff) + ((rgb >> 16) & 0xff)
-              x += 1
-            }
-            y += 1
+          img.getRaster.getDataBuffer match {
+            case b: java.awt.image.DataBufferByte
+                if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+                  b.getData.length == img.getWidth * img.getHeight * 3 =>
+              val data = b.getData
+              var i = 0
+              while (i < data.length) { sum += data(i) & 0xff; i += 1 }
+            case _ =>
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (rgb & 0xff) + ((rgb >> 8) & 0xff) + ((rgb >> 16) & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
           }
           PixelStats(id, sum, img.getWidth.toLong * img.getHeight * 3)
         }
