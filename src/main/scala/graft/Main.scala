@@ -104,7 +104,12 @@ object Main {
           .withColumn("obj", coalesce(col("canon_id"), col("entity_id")))
       } else links.withColumn("obj", col("entity_id"))
       // narrow-key dedup BEFORE the subj/pred concat (same shape as
-      // KgPipeline.triples — BENCH.md lesson 13)
+      // KgPipeline.triples — BENCH.md lesson 13). This stays the GLOBAL
+      // distinct deliberately: `links` here is the COMMITTED snapshot, and
+      // a committed file re-splits on read (maxPartitionBytes), so one
+      // document's duplicate rows can span read partitions — the
+      // co-partitioned-duplicates contract LocalDistinct needs does not
+      // hold on snapshot reads, only on the in-memory narrow lineage.
       resolved.select("repo", "path", "commit", "lang", "label", "obj")
         .distinct()
         .select(

@@ -55,7 +55,16 @@ object KgPipeline {
     */
   def canonMap(spark: SparkSession, links: DataFrame,
       keyCols: Seq[String] = Seq("repo", "path")): DataFrame = {
-    val perDoc = links.select((keyCols :+ "entity_id").map(col): _*).distinct()
+    // Pre-shrink with the shuffle-free LocalDistinct instead of a global
+    // distinct. UNLIKE the triple build, correctness here does NOT depend
+    // on the co-partitioned-duplicates contract: a duplicate (doc, entity)
+    // row that survives into starEdges changes neither the window min nor
+    // the deduplicated edge set, and the CC vertex set is re-distincted
+    // inside ConnectedComponents.run — so this is purely removing a full
+    // exchange of the links relation (the window inside starEdges supplies
+    // the one clustering exchange the computation actually needs).
+    val perDoc = graft.plans.LocalDistinct.of(
+      links.select((keyCols :+ "entity_id").map(col): _*))
     val edges = starEdges(perDoc, keyCols)
     // vertices from the LINK set, not the edge set: an entity linked in
     // exactly one document with no co-occurring entity has no edge but must
