@@ -28,10 +28,21 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * rows never occur in different partitions of the child. Violating it
   * silently keeps cross-partition duplicates; `KgPipeline.triples` only
   * uses it under the documented doc-PK assumption and keeps the global
-  * `distinct()` as the `assumeUniqueDocs = false` fallback. Memory: one
-  * hash set of the partition's OWN distinct rows — same order as the
-  * hash aggregate a global distinct would run, minus spill support; the
-  * fallback is the spill-safe path for adversarial partition sizes.
+  * `distinct()` as the `assumeUniqueDocs = false` fallback.
+  *
+  * MEMORY BOUND — why the no-spill hash set is safe exactly where the
+  * contract holds: the contract restricts this operator to relations
+  * that were NEVER shuffled (a shuffle would scatter duplicates), so its
+  * partitions are scan splits carried through narrow ops — their size is
+  * set by `spark.sql.files.maxPartitionBytes`, not by any key's
+  * frequency. Key-skew blowup is impossible here because there are no
+  * keys; the set holds at most the split's own distinct derived rows
+  * (for the triple build, ≲ a few × the split bytes including per-entry
+  * overhead — size splits accordingly). Post-shuffle relations, where a
+  * hot key CAN concentrate rows, are precisely where the contract
+  * already fails and the spill-capable global `distinct()` must be used
+  * (`Main.run` on committed snapshots, streaming micro-batches with
+  * possible replays).
   */
 final case class LocalDistinct(child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output

@@ -42,7 +42,13 @@ object EventStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.pipeline.KgPipeline.triples(spark, batch)
+        // GLOBAL distinct here, not LocalDistinct: an at-least-once file
+        // source can replay the same document into one micro-batch via
+        // two files, putting identical doc rows — hence identical triples
+        // — in different read partitions, which violates the
+        // co-partitioned-duplicates contract the shuffle-free path needs.
+        graft.pipeline.KgPipeline.triples(spark, batch,
+            assumeUniqueDocs = false)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
         ()

@@ -39,12 +39,15 @@ object PlanAudit {
           if (plan.contains("Bucketed: true")) "bucketed-scan" else "",
           if (plan.contains("MapPartitions") || plan.contains("SerializeFromObject"))
             "typed-stage" else "",
+          if (plan.contains("LocalDistinct")) "LocalDistinct" else "",
           if (plan.contains("BatchEvalPython")) "PYTHON-UDF!" else ""
         ).filter(_.nonEmpty).mkString(" ")
         println(f"$name%-22s ${count("Exchange hashpartitioning")}%7d $bcast%5d $codegen%7d $pushed%6d  $notes")
       } catch {
         case e: Throwable =>
-          println(f"$name%-22s ERROR ${e.getMessage.linesIterator.next()}")
+          val msg = Option(e.getMessage).filter(_.nonEmpty)
+            .map(_.linesIterator.next()).getOrElse(e.getClass.getName)
+          println(f"$name%-22s ERROR $msg")
       }
     }
     spark.stop()
