@@ -449,7 +449,11 @@ object SparkEntry {
 
     // ---- kg_triples: the flagship end-to-end (north rule) ---------------
     QuerySpec("kg_triples",
-      (s, dir) => KgPipeline.triples(s, Tables.docsDf(s, dir))
+      // assumeUniqueDocs: the driver table satisfies the doc-PK contract
+      // (one row per (repo, path, commit), scan -> narrow lineage), so the
+      // flagship gate exercises the shuffle-free LocalDistinct operator.
+      (s, dir) => KgPipeline.triples(s, Tables.docsDf(s, dir),
+          assumeUniqueDocs = true)
         .orderBy("subj", "pred", "obj"),
       Some {
         val subj = "source || '/docs/' || CAST(doc_id AS VARCHAR) || '.txt@' || " +

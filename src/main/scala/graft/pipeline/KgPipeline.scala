@@ -102,7 +102,7 @@ object KgPipeline {
     */
   def triples(spark: SparkSession, docs: DataFrame,
       canonicalize: Boolean = false, sentenceLevel: Boolean = false,
-      assumeUniqueDocs: Boolean = true): DataFrame = {
+      assumeUniqueDocs: Boolean = false): DataFrame = {
     val mentions = if (sentenceLevel) sentenceMentions(docs) else docMentions(docs)
     val linked = links(spark, mentions)
     val resolved =
@@ -118,16 +118,19 @@ object KgPipeline {
     // also the domain-correct key: dedup on the concatenated subj would
     // merge distinct docs whose repo/path happen to concat-collide.)
     //
-    // With `assumeUniqueDocs` (default — (repo, path, commit) is the doc
-    // table's primary key per the input contract), the dedup is the
-    // custom SHUFFLE-FREE LocalDistinct operator: every duplicate triple
-    // derives from ONE document row through a narrow lineage (explode →
-    // filter → broadcast join → project never move rows across
-    // partitions), so equal rows are always co-partitioned and the global
-    // distinct's full-relation hash exchange — the single largest data
-    // movement in the flagship job — carries zero information. Inputs
-    // that may contain the same document twice must pass
-    // assumeUniqueDocs = false to get the exchange-based distinct.
+    // With `assumeUniqueDocs = true` — an explicit OPT-IN for callers
+    // who can assert that (repo, path, commit) is a primary key of their
+    // input — the dedup is the custom SHUFFLE-FREE LocalDistinct
+    // operator: every duplicate triple then derives from ONE document
+    // row through a narrow lineage (explode → filter → broadcast join →
+    // project never move rows across partitions), so equal rows are
+    // always co-partitioned and the global distinct's full-relation hash
+    // exchange — the single largest data movement in the flagship job —
+    // carries zero information. The DEFAULT stays the exchange-based
+    // global distinct: it is correct for arbitrary inputs (replayed
+    // docs, committed-snapshot re-reads) and spill-safe; measured trade
+    // in BENCH.md §21/§23 (the opt-in raises throughput at every
+    // parallelism level, most where shuffle cost bites hardest).
     val narrow = resolved.select("repo", "path", "commit", "lang", "label", "obj")
     val deduped =
       if (assumeUniqueDocs) graft.plans.LocalDistinct.of(narrow)

@@ -124,10 +124,10 @@ class EndToEndSpec extends AnyFunSuite {
     // flagship equivalence: the narrow-lineage co-partitioning argument
     // must make the custom operator row-identical to the exchange path
     val docs = Tables.docsDf(spark, dir)
-    val local = KgPipeline.triples(spark, docs, sentenceLevel = true)
+    val local = KgPipeline.triples(spark, docs, sentenceLevel = true,
+        assumeUniqueDocs = true)
       .as[(String, String, String, String, String)].collect().sorted.toSeq
-    val global = KgPipeline.triples(spark, docs, sentenceLevel = true,
-        assumeUniqueDocs = false)
+    val global = KgPipeline.triples(spark, docs, sentenceLevel = true)
       .as[(String, String, String, String, String)].collect().sorted.toSeq
     assert(local == global && local.nonEmpty)
 
