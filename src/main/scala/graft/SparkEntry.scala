@@ -349,6 +349,20 @@ object SparkEntry {
         // apps (a Verify dump during a Bench sweep) must not clobber each
         // other's table data; /dev/shm keeps the per-rep rewrite off the
         // jittery /tmp virtio disk the bench protocol avoids for shuffle.
+        // Sweep sibling dirs idle >1h (dead apps) so the tiny fixtures do
+        // not accumulate in RAM across rounds — an ACTIVE concurrent app
+        // rewrites its dir every run, so its mtime stays fresh.
+        val base = new java.io.File("/dev/shm")
+        Option(base.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("graft_bucketed_cache_") &&
+            f.lastModified < System.currentTimeMillis - 3600_000L)
+          .foreach { f =>
+            def rm(x: java.io.File): Unit = {
+              Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+              x.delete()
+            }
+            rm(f)
+          }
         val path = s"/dev/shm/graft_bucketed_cache_${s.sparkContext.applicationId}"
         s.sql("DROP TABLE IF EXISTS graft_bucketed_cache")
         cache.write.format("parquet")
