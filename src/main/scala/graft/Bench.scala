@@ -37,12 +37,57 @@ object Bench {
       .withColumn("path", concat(col("path"), lit("#"), col("rep")))
       .drop("rep")
 
-  /** The headline job: end-to-end triples over the (replicated) corpus.
+  /** The headline job: end-to-end triples over the (replicated) corpus —
+    * split → tag → threshold → link → dedup → triple projection
+    * (canonicalization OFF; [[headlineCanon]] is the canonicalized twin).
     * Returns the triple count (forces full execution).
     */
   def headline(spark: SparkSession, dir: String, k: Int): Long =
     KgPipeline.triples(spark, replicatedDocs(spark, dir, k),
       sentenceLevel = true).count()
+
+  /** The FULL north-rule pipeline including canonicalization (J3 — the
+    * composition `Main.run --canon` / `KgPipeline.materialize` default to):
+    * everything [[headline]] runs plus the connected-components canon map
+    * and its join-back. Published as `triples_per_sec_canon` alongside the
+    * canon-free number so the flagship metric covers the mandated job.
+    */
+  def headlineCanon(spark: SparkSession, dir: String, k: Int): Long =
+    KgPipeline.triples(spark, replicatedDocs(spark, dir, k),
+      sentenceLevel = true, canonicalize = true).count()
+
+  /** Minimal JSON string escaping for hand-built output. */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Run every query once (plan + full count), returning per-query wall
+    * times and a per-query error map. A failing query records its
+    * exception class + message and a sentinel -1 time — the caller must
+    * surface the errors and mark the sweep total invalid rather than
+    * silently publishing a faster-looking partial sum.
+    */
+  def runQueries(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)])
+      : (Seq[(String, Double)], Map[String, String]) = {
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    val times = queries.map { case (name, fn) =>
+      val t = try {
+        fn(spark, sfDir).count()
+        time(fn(spark, sfDir).count())._2
+      } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}"
+          -1.0
+      }
+      name -> t
+    }
+    (times, errors.toMap)
+  }
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -163,21 +208,27 @@ object Bench {
       (tputOf(midCpus) / tputOf(lowCpus)) / (midCpus.toDouble / lowCpus)
     val efficiencyHigh = (tputHigh / tputMid) / (cpus.toDouble / midCpus)
 
-    // --- per-query timings at the bench SF --------------------------------
+    // --- canonicalized full-pipeline headline + per-query timings ---------
     val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try {
-        fn(spark, sfDir).count()
-        time(fn(spark, sfDir).count())._2
-      } catch { case _: Throwable => -1.0 }
-      name -> t
-    }
+    // triples_per_sec_canon: the SAME corpus/replication as the scaling
+    // headline, with canonicalization ON (the `Main.run --canon` /
+    // `materialize` composition). Warmup + best-of reps within the session,
+    // like every other timed number here.
+    val (triplesCanon, _) = time(headlineCanon(spark, sfDir, scaleRepl))
+    val canonTimes = (1 to math.max(2, rounds - 1))
+      .map(_ => time(headlineCanon(spark, sfDir, scaleRepl))._2)
+    val tputCanon = triplesCanon / canonTimes.min
+    val (results, queryErrors) =
+      runQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
     val (triplesSingle, tTriples) = time(
       KgPipeline.triples(spark, Tables.docsDf(spark, sfDir),
         sentenceLevel = true).count())
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errsJson = queryErrors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val rawTimes = levels.map { n =>
@@ -193,8 +244,15 @@ object Bench {
         s""""efficiency_n_4n":${f"$efficiency%.3f"},""" +
         s""""efficiency_4n_max":${f"$efficiencyHigh%.3f"},""" +
         s""""times_sec":$rawTimes}"""
+    // total_valid: false when ANY query errored — the partial sum would
+    // otherwise read as a (faster) full sweep
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errsJson,"errors_count":${queryErrors.size},""" +
+      s""""total_valid":${queryErrors.isEmpty},""" +
       s""""sf":"$sfDir","triples_per_sec":${f"$tputHigh%.1f"},""" +
+      s""""triples_per_sec_canon":${f"$tputCanon%.1f"},""" +
+      s""""triples_canon":$triplesCanon,""" +
+      s""""canon_times_sec":[${canonTimes.map(t => f"$t%.2f").mkString(",")}],""" +
       s""""triples_sf":$triplesSingle,"triples_sf_sec":$tTriples,""" +
       s""""scaling":$scaling}""")
   }

@@ -92,6 +92,24 @@ object Multimodal {
     df.withColumn("payload",
       encodeBmpUdf(col(textCol), widthCol(col(textCol)), heightCol(col(textCol))))
 
+  /** Wrap a partition iterator so `cleanup` runs exactly once, when the
+    * iterator is exhausted — releases each partition's reusable
+    * ImageReader/ImageWriter native resources instead of leaving them to
+    * finalization (Spark fully drains mapPartitions iterators, so
+    * exhaustion is reached on both complete and downstream-limited runs
+    * of the partitions that start).
+    */
+  private def onExhaustion[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var cleaned = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !cleaned) { cleaned = true; cleanup }
+        h
+      }
+      override def next(): T = it.next()
+    }
+
   /** Batch decode with `javax.imageio`: one reader per partition,
     * iterator-in / iterator-out (the mapInPandas batch shape). Input must
     * carry (doc_id:long, payload:binary).
@@ -103,7 +121,7 @@ object Multimodal {
         // per-partition codec init: one reusable BMP ImageReader
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("bmp").next()
-        it.map { case (id, bytes) =>
+        onExhaustion(it.map { case (id, bytes) =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           reader.setInput(iis)
@@ -113,7 +131,7 @@ object Multimodal {
           val hdr = bytes.take(8).map("%02x".format(_)).mkString
           MediaMeta(id, bytes.length.toLong, hdr, img.getWidth, img.getHeight,
             nFrames)
-        }
+        })(reader.dispose())
       }
   }
 
@@ -196,7 +214,7 @@ object Multimodal {
       .mapPartitions { it =>
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("bmp").next()
-        it.map { case (id, bytes) =>
+        onExhaustion(it.map { case (id, bytes) =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           reader.setInput(iis)
@@ -243,7 +261,7 @@ object Multimodal {
           val outBytes = encodeBmpFromImage(scaled)
           ResizedMeta(id, img.getWidth, img.getHeight, w2, h2,
             outBytes.length.toLong)
-        }
+        })(reader.dispose())
       }
   }
 
@@ -276,7 +294,7 @@ object Multimodal {
       .mapPartitions { it =>
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("bmp").next()
-        it.map { case (id, bytes) =>
+        onExhaustion(it.map { case (id, bytes) =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           reader.setInput(iis)
@@ -309,7 +327,7 @@ object Multimodal {
               }
           }
           PixelStats(id, sum, img.getWidth.toLong * img.getHeight * 3)
-        }
+        })(reader.dispose())
       }
   }
 
@@ -400,6 +418,10 @@ object Multimodal {
   }
 
   /** (doc_id, payload) with a real multi-frame GIF synthesized per row.
+    * NOTE the narrowed output schema: unlike the `withColumn`-shaped
+    * payload attachers above, this returns EXACTLY two columns
+    * (doc_id, payload) — input columns are not passed through (join the
+    * payload back on doc_id if you need them).
     * mapPartitions with ONE writer per partition — the round-2 per-row
     * `getImageWritersByFormatName` + `dispose` UDF was the single biggest
     * cost in `mm_video`; this is the same per-partition-init shape every
@@ -415,7 +437,7 @@ object Multimodal {
       .mapPartitions { it =>
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("gif").next()
-        it.map { case (id, text) =>
+        onExhaustion(it.map { case (id, text) =>
           if (text == null) (id, null: Array[Byte])
           else {
             val sha = graft.functions.Text.sha256HexScalar(text)
@@ -424,7 +446,7 @@ object Multimodal {
             (id, encodeGifWith(writer, hp(1) % 32 + 1, hp(3) % 32 + 1,
               hp(11) % 5 + 2, text.getBytes("UTF-8")))
           }
-        }
+        })(writer.dispose())
       }.toDF("doc_id", "payload")
   }
 
@@ -439,7 +461,7 @@ object Multimodal {
       .mapPartitions { it =>
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("gif").next()
-        it.map { case (id, bytes) =>
+        onExhaustion(it.map { case (id, bytes) =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           reader.setInput(iis)
@@ -459,7 +481,7 @@ object Multimodal {
           }
           iis.close()
           VideoMeta(id, n, w0, h0, kept)
-        }
+        })(reader.dispose())
       }
   }
 

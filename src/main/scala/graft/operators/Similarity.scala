@@ -188,6 +188,36 @@ object Similarity {
     }
   }
 
+  /** Nearest-centroid cell id for an embedding column — the native
+    * [[graft.expressions.NearestCentroid]] kernel: the centroid matrix is
+    * a single per-instance reference object, so plan size and depth are
+    * O(1) in nlist (the round-3 review flagged the previous reduce-chained
+    * `when` comparison, whose nlist-deep expression tree hits janino
+    * limits around nlist ≈ 4096), and the kernel codegens (a `zip_with`+
+    * `aggregate` fold would drop the projection out of whole-stage
+    * codegen — HOFs are CodegenFallback). Semantics are bit-identical to
+    * that chain, to the HOF parity twin ([[assignCellHof]], randomized
+    * spec), and to the DuckDB replay: first-max-wins — max score, min
+    * cell on equal scores — over ordered-fold [[dot]] scores.
+    */
+  private[graft] def assignCell(e: Column, cents: Array[Array[Double]]): Column =
+    graft.expressions.NearestCentroid.of(e, cents)
+
+  /** Declarative parity twin of [[assignCell]]: literal centroid matrix
+    * scored with `zip_with`, folded with `aggregate` seeded by element 1
+    * keeping the accumulator on ties — the same first-max-wins sequence.
+    * Spec-checked equal to the native kernel; edit both together.
+    */
+  private[graft] def assignCellHof(e: Column, cents: Array[Array[Double]]): Column = {
+    val nlist = cents.length
+    val centMat = typedLit(cents.map(_.toSeq).toSeq)
+    val scored = zip_with(centMat, sequence(lit(0), lit(nlist - 1)),
+      (c, i) => struct(dot(e, c).as("s"), i.as("cell")))
+    aggregate(slice(scored, 2, nlist - 1), element_at(scored, 1),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+      .getField("cell")
+  }
+
   /** Quantization scale for the training sums: per-dim embedding values
     * are scaled by 2^20 and floored to integers before summing, so the
     * cross-partition sums are EXACT — order/partition-invariant like the
@@ -216,13 +246,11 @@ object Similarity {
     var cents = centroids(nlist, seed, d)
     val emb = corpus.select(col("embedding").cast("array<double>").as("e"))
     (1 to iters).foreach { _ =>
-      val cell = cents.zipWithIndex.map { case (c, i) =>
-        struct(dot(col("e"), typedLit(c.toSeq)).as("s"), lit(i).as("cell"))
-      }.reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+      val cell = assignCell(col("e"), cents)
       val sums = (0 until d).map(i =>
         sum(floor(element_at(col("e"), i + 1) * quantScale).cast("long"))
           .as(s"s$i"))
-      val rows = emb.withColumn("cell", cell.getField("cell"))
+      val rows = emb.withColumn("cell", cell)
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()

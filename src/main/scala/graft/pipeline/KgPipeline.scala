@@ -54,17 +54,26 @@ object KgPipeline {
     * graph of linked entities, returning a (entity_id, canon_id) map.
     */
   def canonMap(spark: SparkSession, links: DataFrame,
-      keyCols: Seq[String] = Seq("repo", "path")): DataFrame = {
-    // Pre-shrink with the shuffle-free LocalDistinct instead of a global
-    // distinct. UNLIKE the triple build, correctness here does NOT depend
-    // on the co-partitioned-duplicates contract: a duplicate (doc, entity)
-    // row that survives into starEdges changes neither the window min nor
-    // the deduplicated edge set, and the CC vertex set is re-distincted
-    // inside ConnectedComponents.run — so this is purely removing a full
-    // exchange of the links relation (the window inside starEdges supplies
-    // the one clustering exchange the computation actually needs).
-    val perDoc = graft.plans.LocalDistinct.of(
-      links.select((keyCols :+ "entity_id").map(col): _*))
+      keyCols: Seq[String] = Seq("repo", "path"),
+      assumeNarrowLinks: Boolean = false): DataFrame = {
+    // Pre-shrink the (doc, entity) relation before the starEdges window.
+    // UNLIKE the triple build, correctness here does NOT depend on the
+    // co-partitioned-duplicates contract: a duplicate (doc, entity) row
+    // that survives into starEdges changes neither the window min nor the
+    // deduplicated edge set, and the CC vertex set is re-distincted inside
+    // ConnectedComponents.run. But the shuffle-free LocalDistinct's
+    // no-spill MEMORY bound only holds for never-shuffled inputs (scan
+    // splits — see its scaladoc), and `links` is caller-supplied: a
+    // post-shuffle/snapshot relation can carry a hot partition that the
+    // per-partition hash set cannot spill. So, mirroring `triples`, the
+    // LocalDistinct pre-shrink is an OPT-IN (`assumeNarrowLinks`) for
+    // callers who can assert narrow lineage from a scan; the default is
+    // the spill-safe global distinct (which also subsumes the pre-shrink's
+    // purpose: removing duplicate rows before the window exchange).
+    val narrow = links.select((keyCols :+ "entity_id").map(col): _*)
+    val perDoc =
+      if (assumeNarrowLinks) graft.plans.LocalDistinct.of(narrow)
+      else narrow.distinct()
     val edges = starEdges(perDoc, keyCols)
     // vertices from the LINK set, not the edge set: an entity linked in
     // exactly one document with no co-occurring entity has no edge but must
@@ -107,7 +116,9 @@ object KgPipeline {
     val linked = links(spark, mentions)
     val resolved =
       if (canonicalize) {
-        val cm = canonMap(spark, linked)
+        // the doc-PK assertion that makes the triple dedup's LocalDistinct
+        // safe is exactly the narrow-lineage assertion canonMap needs
+        val cm = canonMap(spark, linked, assumeNarrowLinks = assumeUniqueDocs)
         linked.join(broadcast(cm), Seq("entity_id"), "left")
           .withColumn("obj", coalesce(col("canon_id"), col("entity_id")))
       } else linked.withColumn("obj", col("entity_id"))

@@ -89,12 +89,63 @@ final case class LocalDistinctExec(child: SparkPlan) extends UnaryExecNode {
 
 object LocalDistinct {
 
-  /** Apply to a DataFrame; registers the strategy in the session once. */
+  /** Conf key: when `true`, [[of]] eagerly validates the contract by
+    * counting both the LocalDistinct result and the global `distinct()`
+    * of the same relation and throwing on mismatch. Runs the child twice —
+    * for specs and production smoke runs, not the hot path. A violated
+    * co-partitioning contract then fails LOUDLY instead of silently
+    * under-deduplicating.
+    */
+  val verifyConfKey = "spark.graft.localDistinct.verify"
+
+  /** Types whose equality under raw UnsafeRow byte comparison diverges
+    * from `distinct()` semantics: Spark normalizes floats before hash
+    * aggregation (0.0 == -0.0, all NaN bit patterns equal) and compares
+    * maps order-insensitively; this operator's byte-wise dedup does
+    * neither. Callers hitting this need the global `distinct()` (or must
+    * pre-normalize). Checked recursively through arrays/structs/maps.
+    */
+  private def unsupportedType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => true
+      case _: MapType => true
+      case ArrayType(et, _) => unsupportedType(et)
+      case StructType(fields) => fields.exists(f => unsupportedType(f.dataType))
+      case _ => false
+    }
+  }
+
+  /** Apply to a DataFrame; registers the strategy in the session once.
+    * Rejects float/double/map-bearing schemas (see [[unsupportedType]]);
+    * with [[verifyConfKey]] set, eagerly cross-checks against the global
+    * distinct and throws on a contract violation.
+    */
   def of(df: DataFrame): DataFrame = {
+    df.schema.fields.filter(f => unsupportedType(f.dataType)) match {
+      case bad if bad.nonEmpty =>
+        throw new IllegalArgumentException(
+          "LocalDistinct: byte-wise row equality diverges from distinct() " +
+            "for float/double (NaN/-0.0 normalization) and map (field " +
+            "order) types; offending columns: " +
+            bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+            ". Use distinct() or project these columns away/normalize first.")
+      case _ =>
+    }
     val spark = df.sparkSession
     register(spark)
-    org.apache.spark.sql.graft.ColumnBridge.dataFrame(spark,
+    val out = org.apache.spark.sql.graft.ColumnBridge.dataFrame(spark,
       LocalDistinct(org.apache.spark.sql.graft.ColumnBridge.logicalPlan(df)))
+    if (spark.conf.getOption(verifyConfKey).exists(_.toBoolean)) {
+      val local = out.count()
+      val global = df.distinct().count()
+      if (local != global)
+        throw new IllegalStateException(
+          s"LocalDistinct contract violated: $local locally-distinct rows vs " +
+            s"$global globally-distinct — equal rows occur in different " +
+            "partitions of the child (was it shuffled?). Use distinct().")
+    }
+    out
   }
 
   def register(spark: SparkSession): Unit = synchronized {

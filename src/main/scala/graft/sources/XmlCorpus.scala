@@ -14,11 +14,12 @@ import graft.functions.Text
   * Reference semantics reproduced:
   *  - articles are rows whose `./item/category@scope == "cms-article"`;
   *  - text = every text node under `./item/corpus` in document order,
-  *    joined with single spaces, EXCEPT the text of `<location>` and
-  *    `<em class="source">` nodes inside bodytext paragraphs (the notebook
-  *    blanks `node.text` in place; we exclude those text nodes via XPath —
-  *    equivalent after whitespace collapse for element-free datelines,
-  *    which is all the reference corpus contains);
+  *    joined with single spaces, EXCEPT the LEADING text node of
+  *    `<location>` and `<em class="source">` elements inside bodytext
+  *    paragraphs — exactly the `node.text` slot the notebook blanks in
+  *    place (ElementTree `.text` is the text BEFORE the first child), so
+  *    a dateline element that ever carries child elements keeps its child
+  *    and tail text on both sides (spec-pinned in TextSplitSpec);
   *  - label = `./item/related[@rel='department']/directory/meta/
   *    id[@scope='url']` text;
   *  - the pair is serialized as a fasttext line `__label__<id> <text>`
@@ -26,10 +27,18 @@ import graft.functions.Text
   */
 object XmlCorpus {
 
+  // `not(preceding-sibling::node())` restricts each exclusion to the
+  // element's FIRST text-node child — the ElementTree `.text` slot the
+  // notebook blanks (cells 2-7). Text nodes AFTER a child element inside
+  // <location>/<em> (XPath: same parent, but with a preceding sibling)
+  // survive, matching the notebook's in-place mutation byte-for-byte even
+  // for nested datelines.
   private val bodyTextXpath =
     "/item/corpus//text()[" +
-      "not(parent::location[parent::p[@class=\"bodytext\"]]) and " +
-      "not(parent::em[@class=\"source\"][parent::p[@class=\"bodytext\"]])]"
+      "not(parent::location[parent::p[@class=\"bodytext\"]] " +
+      "and not(preceding-sibling::node())) and " +
+      "not(parent::em[@class=\"source\"][parent::p[@class=\"bodytext\"]] " +
+      "and not(preceding-sibling::node()))]"
 
   private val departmentXpath =
     "/item/related[@rel=\"department\"]/directory/meta/id[@scope=\"url\"]"

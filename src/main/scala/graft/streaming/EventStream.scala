@@ -56,15 +56,31 @@ object EventStream {
 
   /** Streaming exact dedup — the J1 cache semantics as a stream: state =
     * content keys seen so far (the dropDuplicates state store), output =
-    * first occurrence of each key only. State is unbounded without an
-    * event-time watermark; a production deployment adds
-    * `.withWatermark(tsCol, horizon)` so keys expire with the dedup
-    * horizon (the reference's 3M-entry weekly retention is exactly such a
-    * horizon, ner-clean-cache.sh:9).
+    * first occurrence of each key only. State is UNBOUNDED — correct for
+    * finite replays/backfills; long-running deployments should use
+    * [[dedupDocsWithHorizon]], whose watermark bounds the state like the
+    * reference's cache retention bounds its cache file.
     */
   def dedupDocs(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("k", graft.functions.Text.sha256Hex(col(textCol)))
       .dropDuplicates("k")
+
+  /** [[dedupDocs]] with a bounded state horizon — the streaming twin of
+    * O2's batch retention (the reference keeps its dedup cache to 3M
+    * entries on a weekly cron, `ner-clean-cache.sh:9` /
+    * `debian/ner-tagger.cron:6`; a content key re-entering after the
+    * horizon is recomputed, exactly as a re-emitted duplicate here).
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * event-time watermark passes its timestamp + `horizon`: an in-horizon
+    * duplicate is dropped, an expired key re-emits — state size is bounded
+    * by the key arrival rate × horizon instead of the stream's lifetime.
+    */
+  def dedupDocsWithHorizon(docs: DataFrame, tsCol: String = "ts",
+      horizon: String = "7 days", textCol: String = "text"): DataFrame =
+    docs.withColumn("k", graft.functions.Text.sha256Hex(col(textCol)))
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("k")
 
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -235,6 +235,36 @@ class AnalysisStreamingSpec extends AnyFunSuite {
       "the duplicate micro-batch must be fully suppressed by dedup state")
   }
 
+  test("streaming: horizon dedup — in-horizon duplicate dropped, expired key re-emits") {
+    // the streaming twin of O2's retention: dropDuplicatesWithinWatermark
+    // evicts a key's state once the watermark passes its ts + horizon.
+    // MemoryStream gives batch-precise control over watermark advancement
+    // (the watermark updates at the END of each micro-batch).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val q = EventStream.dedupDocsWithHorizon(
+        ms.toDF().toDF("doc_id", "text", "ts"), horizon = "1 hour")
+      .writeStream.format("memory").queryName("dedup_horizon")
+      .outputMode("append").start()
+    try {
+      // batch 1: first occurrences emit; watermark -> 10:05 - 1h
+      ms.addData((1L, "A", "2024-01-01 10:00:00"), (2L, "B", "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // batch 2: A again within the horizon -> dropped; C at 20:00 emits
+      // and advances the watermark to 19:00 (> A's 10:00 + 1h -> A evicted)
+      ms.addData((3L, "A", "2024-01-01 10:30:00"), (4L, "C", "2024-01-01 20:00:00"))
+      q.processAllAvailable()
+      // batch 3: A re-arrives after its state expired -> re-emits
+      ms.addData((5L, "A", "2024-01-01 19:30:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_horizon").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L, 5L),
+      s"expected in-horizon dup 3 dropped and expired key 5 re-emitted, got $got")
+  }
+
   test("streaming: foreachBatch KG pipeline == batch triples (micro-batched corpus)") {
     // the full pipeline (cleanup -> split/tag -> link -> triples) running
     // per micro-batch over a file stream of the Doc table must produce

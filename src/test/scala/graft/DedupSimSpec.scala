@@ -170,6 +170,66 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"trained-centroid recall=$recall")
   }
 
+  test("ANN: assignCell — O(1) plan depth at nlist=256, codegen kept, native == HOF twin == local") {
+    // the round-3 review item: the former reduce-chained `when` assignment
+    // built an nlist-deep expression tree (janino blowup ~nlist 4096). The
+    // native NearestCentroid kernel must keep CONSTANT depth at any nlist,
+    // stay inside whole-stage codegen (a HOF fold is CodegenFallback and
+    // drops the projection out), and preserve first-max-wins semantics.
+    val cents = Similarity.centroids(256, seed = 7L)
+    val cell = Similarity.assignCell(col("e"), cents)
+    def depth(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      if (e.children.isEmpty) 1 else 1 + e.children.map(depth).max
+    val d = depth(org.apache.spark.sql.graft.ColumnBridge.expression(cell))
+    assert(d < 10, s"assignment expression depth $d must be O(1) in nlist")
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(20)
+    val df = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("cell", cell)
+    // the `*(n)` prefix marks a whole-stage-codegen'd operator; the
+    // projection carrying the assignment must have it (a CodegenFallback
+    // expression — e.g. a HOF fold — would strip it)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("nearest_centroid") && l.trim.matches("""\+?-?\s*\*\(\d+\) Project.*""")),
+      s"the assignment projection fell out of whole-stage codegen:\n$plan")
+    val got = df.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val local = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    local.foreach { case (id, e) =>
+      // first-max-wins: strictly-greater replaces, ties keep the earlier cell
+      var best = 0; var bs = Double.NegativeInfinity
+      cents.zipWithIndex.foreach { case (c, i) =>
+        var s = 0.0; var j = 0
+        while (j < e.length) { s += e(j) * c(j); j += 1 }
+        if (s > bs) { bs = s; best = i }
+      }
+      assert(got(id) == best, s"vec $id: got ${got(id)} want $best")
+    }
+  }
+
+  test("ANN: native NearestCentroid == HOF parity twin, bit-exact (randomized)") {
+    // edit Similarity.assignCellHof and the native kernel together —
+    // trainCentroids' DuckDB replay depends on this exact tie/fold order
+    val rnd = new scala.util.Random(47)
+    (1 to 5).foreach { round =>
+      val nlist = Seq(1, 2, 7, 16, 64)(round - 1)
+      val d = 1 + rnd.nextInt(40)
+      val cents = Array.fill(nlist)(Array.fill(d)(rnd.nextGaussian()))
+      // include exact-duplicate centroids to exercise the tie-keeps-earlier rule
+      if (nlist > 2) cents(nlist - 1) = cents(0).clone()
+      val rows = (1 to 60).map(i => (i.toLong, Seq.fill(d)(rnd.nextGaussian())))
+      val df = rows.toDF("id", "e").select(col("id"),
+        col("e").cast("array<double>").as("e"))
+      val native = df.select(col("id"), Similarity.assignCell(col("e"), cents))
+        .as[(Long, Int)].collect().toMap
+      val hof = df.select(col("id"), Similarity.assignCellHof(col("e"), cents)
+        .cast("int")).as[(Long, Int)].collect().toMap
+      assert(native == hof, s"nlist=$nlist d=$d")
+    }
+  }
+
   test("ANN: LSH path returns valid neighbors with nonzero recall (seeded)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, 5)

@@ -119,6 +119,64 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("bench harness: a failing query is surfaced in the error map, not silently dropped") {
+    // the r3 review item: a query that throws used to be recorded as -1 and
+    // simply excluded from the sweep total, making a regression look FASTER.
+    // runQueries must record the exception so the JSON can mark the sweep
+    // invalid (errors_count / total_valid in the Bench output).
+    val ok = (s: org.apache.spark.sql.SparkSession, _: String) =>
+      s.range(3).toDF("n")
+    val boom = (_: org.apache.spark.sql.SparkSession, _: String) =>
+      throw new RuntimeException("synthetic bench failure")
+    val (times, errors) = Bench.runQueries(spark, dir,
+      Seq("ok" -> ok, "boom" -> boom))
+    val t = times.toMap
+    assert(t("ok") >= 0.0)
+    assert(t("boom") == -1.0)
+    assert(errors.keySet == Set("boom"))
+    assert(errors("boom").startsWith("java.lang.RuntimeException") &&
+      errors("boom").contains("synthetic bench failure"), errors("boom"))
+  }
+
+  test("SQL surface conformance: every registered function casts/rejects per its inputTypes") {
+    // table-driven sweep over all six GraftExtensions registrations: a
+    // castable-but-inexact input must implicitly cast (ImplicitCastInputTypes
+    // promise), a non-castable one must fail ANALYSIS — never reach runtime
+    // with mis-typed ArrayData (the r2 dot_product int-array bug class).
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val cases = Seq(
+        // (function, casting call that must run, non-castable call)
+        ("split_sentences", "size(split_sentences(42)) >= 0",
+          "split_sentences(array('a'))"),
+        ("cleanup_text", "cleanup_text(42) = '42'",
+          "cleanup_text(array('a'))"),
+        ("chunk_sentences", "size(chunk_sentences(array('a.'), 10L)) = 1",
+          "chunk_sentences('not-an-array', 10)"),
+        ("normalize_mention", "normalize_mention(42) = '42'",
+          "normalize_mention(map('k', 'v'))"),
+        ("dot_product", "dot_product(array(1, 2), array(3, 4)) = 11.0d",
+          "dot_product('a', 'b')"),
+        ("tag_mentions", "size(tag_mentions(42)) >= 0",
+          "tag_mentions(array('a'))"))
+      cases.foreach { case (name, valid, invalid) =>
+        assert(s2.sql(s"SELECT $valid AS ok").collect().head.getBoolean(0),
+          s"$name: casting call must run and produce the cast semantics")
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          s2.sql(s"SELECT $invalid").collect()
+        }
+        assert(e.getMessage != null, s"$name: $invalid must fail analysis")
+      }
+    } finally {
+      SparkSession.setDefaultSession(base); SparkSession.setActiveSession(base)
+    }
+  }
+
   test("LocalDistinct: shuffle-free dedup ≡ global distinct on the flagship; contract pinned") {
     import graft.plans.LocalDistinct
     // flagship equivalence: the narrow-lineage co-partitioning argument
@@ -150,6 +208,38 @@ class EndToEndSpec extends AnyFunSuite {
     assert(rel.distinct().queryExecution.executedPlan.toString
       .contains("Exchange hashpartitioning"),
       "control: the global distinct on the same relation does exchange")
+  }
+
+  test("LocalDistinct: verify mode fails loudly on a violated contract; float/map schemas rejected") {
+    import graft.plans.LocalDistinct
+    // contract-check mode (spark.graft.localDistinct.verify): a
+    // post-shuffle child scatters equal rows across partitions — the
+    // count cross-check must throw instead of silently under-deduping
+    spark.conf.set(LocalDistinct.verifyConfKey, "true")
+    try {
+      val spread = spark.range(0, 4).select(lit("dup").as("v")).repartition(4)
+      val e = intercept[IllegalStateException] { LocalDistinct.of(spread) }
+      assert(e.getMessage.contains("contract violated"), e.getMessage)
+      // a contract-respecting child passes the same check
+      val one = spark.range(0, 100).select((col("id") % 5).as("v")).coalesce(1)
+      assert(LocalDistinct.of(one).count() == 5)
+    } finally spark.conf.unset(LocalDistinct.verifyConfKey)
+
+    // byte-wise row equality diverges from distinct() for floating point
+    // (0.0 vs -0.0, NaN payloads) and maps (field order): such schemas are
+    // rejected at call time, nested occurrences included
+    val doubles = spark.range(2).select(col("id").cast("double").as("x"))
+    assert(intercept[IllegalArgumentException] { LocalDistinct.of(doubles) }
+      .getMessage.contains("x: double"))
+    val nested = spark.range(2).select(array(col("id").cast("float")).as("xs"))
+    assert(intercept[IllegalArgumentException] { LocalDistinct.of(nested) }
+      .getMessage.contains("xs"))
+    val maps = spark.range(2).select(map(lit("k"), col("id")).as("m"))
+    assert(intercept[IllegalArgumentException] { LocalDistinct.of(maps) }
+      .getMessage.contains("m: map"))
+    // the concrete divergence the guard exists for: -0.0 vs 0.0 would
+    // survive byte-wise dedup while distinct() merges them
+    assert(Seq(0.0, -0.0).toDF("x").distinct().count() == 1)
   }
 
   test("stage registry composes to the same result as the hand-built pipeline") {

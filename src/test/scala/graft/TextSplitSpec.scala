@@ -246,6 +246,32 @@ class TextSplitSpec extends AnyFunSuite {
     assert(line.startsWith("__label__p4616 ") && line.contains("Der erste Absatz."))
   }
 
+  test("S5 xml ingest: nested dateline — only the .text slot is blanked, child/tail text survive") {
+    // The notebook blanks `node.text` IN PLACE (cells 2-7): for
+    // <location>LEAD<b>CHILD</b>TAIL</location> only LEAD vanishes —
+    // CHILD (a child element's text) and TAIL (ElementTree .tail of <b>,
+    // an XPath text-node child of <location> with a preceding sibling)
+    // survive. The xpath exclusion reproduces exactly that via
+    // not(preceding-sibling::node()); this pins the r3-flagged divergence
+    // closed for element-bearing datelines.
+    import graft.sources.XmlCorpus
+    val article =
+      """<item><category scope="cms-article"/><corpus>
+        |<p class="bodytext"><location>LEAD<b>CHILD</b>TAIL</location>Body text here.</p>
+        |<p class="bodytext">More <em class="source">SRCLEAD<i>SRCCHILD</i>SRCTAIL</em> after.</p>
+        |</corpus><related rel="department"><directory><meta>
+        |<id scope="url">p1</id></meta></directory></related></item>""".stripMargin
+    val got = XmlCorpus.articles(Seq((1L, article)).toDF("doc_id", "xml"))
+      .select("content").as[String].collect().head
+    assert(!got.split("\\s+").contains("LEAD") && !got.split("\\s+").contains("SRCLEAD"),
+      s".text slots must be blanked: <$got>")
+    assert(got.contains("CHILD") && got.contains("TAIL"),
+      s"child-element text and tail text inside <location> must survive: <$got>")
+    assert(got.contains("SRCCHILD") && got.contains("SRCTAIL"),
+      s"child-element text and tail text inside <em source> must survive: <$got>")
+    assert(got.contains("Body text here.") && got.contains("after."))
+  }
+
   test("S5 synthesis: escaping-hostile text round-trips the real XML parser") {
     import graft.sources.XmlCorpus
     // &, <, >, quotes, entity look-alikes, CR/LF, tab, and an XML-invalid

@@ -73,8 +73,11 @@ for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
 
 if missing:
     print(f"(--only-existing: skipped {missing} queries with no dump)")
-    if passes == 0 and not fails and skips == 0:
-        print("FAIL: nothing was checked — query-name typo in the Verify filter?")
+    # independent of leftover rows-only dirs from a previous full run:
+    # if no oracle query was newly checked, a fully typo'd filter must
+    # not exit green on stale state
+    if passes == 0 and not fails:
+        print("FAIL: no oracle query was checked — query-name typo in the Verify filter?")
         sys.exit(1)
 print(f"\n{passes} pass, {len(fails)} fail, {skips} rows-only")
 for name, msg in fails:
