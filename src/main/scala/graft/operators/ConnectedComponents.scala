@@ -101,12 +101,19 @@ object ConnectedComponents {
     labels
   }
 
-  /** Reference-scalar twin (union-find) for tests and small fixtures. */
+  /** Scalar union-find twin — the spec oracle, and the driver-side CC for
+    * dictionary-bounded graphs (`KgPipeline.canonMap`'s guarded fast
+    * path). Iterative find with path compression: stack-safe on
+    * million-edge chains, near-linear total.
+    */
   def runScalar(edges: Seq[(String, String)]): Map[String, String] = {
     val parent = scala.collection.mutable.Map.empty[String, String]
     def find(x: String): String = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     def union(a: String, b: String): Unit = {
       val (ra, rb) = (find(a), find(b))

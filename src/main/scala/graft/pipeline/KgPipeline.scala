@@ -54,33 +54,62 @@ object KgPipeline {
     * graph of linked entities, returning a (entity_id, canon_id) map.
     */
   def canonMap(spark: SparkSession, links: DataFrame,
-      keyCols: Seq[String] = Seq("repo", "path"),
-      assumeNarrowLinks: Boolean = false): DataFrame = {
-    // Pre-shrink the (doc, entity) relation before the starEdges window.
-    // UNLIKE the triple build, correctness here does NOT depend on the
-    // co-partitioned-duplicates contract: a duplicate (doc, entity) row
-    // that survives into starEdges changes neither the window min nor the
-    // deduplicated edge set, and the CC vertex set is re-distincted inside
-    // ConnectedComponents.run. But the shuffle-free LocalDistinct's
-    // no-spill MEMORY bound only holds for never-shuffled inputs (scan
-    // splits — see its scaladoc), and `links` is caller-supplied: a
-    // post-shuffle/snapshot relation can carry a hot partition that the
-    // per-partition hash set cannot spill. So, mirroring `triples`, the
-    // LocalDistinct pre-shrink is an OPT-IN (`assumeNarrowLinks`) for
-    // callers who can assert narrow lineage from a scan; the default is
-    // the spill-safe global distinct (which also subsumes the pre-shrink's
-    // purpose: removing duplicate rows before the window exchange).
+      keyCols: Seq[String] = Seq("repo", "path")): DataFrame = {
+    // ONE exchange over the links relation: groupBy(doc) + collect_set.
+    // The previous shape (global distinct → window min → edge distinct)
+    // exchanged the full relation TWICE — once hashed on (doc, entity)
+    // for the distinct, once on (doc) for the window — and its round-3
+    // LocalDistinct pre-shrink traded an unspillable per-partition hash
+    // set for one of them. The partial aggregate here subsumes both:
+    // duplicate (doc, entity) rows collapse MAP-SIDE into the partial
+    // sets (spill-safe — ObjectHashAggregate falls back to sort-based
+    // aggregation under pressure), and only one per-doc set row per doc
+    // crosses the wire. A hot document linking 10^4 entities becomes one
+    // 10^4-element array row, not a join/window hotspot. (Measured with
+    // the driver union-find below: canonMap phase 6.7 → 2.5 s at 128×
+    // replication, BENCH.md §24.)
     val narrow = links.select((keyCols :+ "entity_id").map(col): _*)
-    val perDoc =
-      if (assumeNarrowLinks) graft.plans.LocalDistinct.of(narrow)
-      else narrow.distinct()
-    val edges = starEdges(perDoc, keyCols)
-    // vertices from the LINK set, not the edge set: an entity linked in
-    // exactly one document with no co-occurring entity has no edge but must
-    // still appear in the canon map (as its own canonical id).
-    val verts = perDoc.select(col("entity_id")).distinct()
-    ConnectedComponents.run(spark, edges, vertices = Some(verts))
-      .select(col("id").as("entity_id"), col("component").as("canon_id"))
+    val sets = narrow
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_set(col("entity_id")).as("es"))
+      .select(col("es"))
+    // (hub, member) pairs INCLUDING the (hub, hub) self-pair: the
+    // self-pair registers an edge-less document's lone entity as a
+    // vertex, so this single distinct relation carries the star edges
+    // AND the vertex set (an entity linked with no co-occurring entity
+    // must still appear in the map as its own canonical id).
+    val pairs = starPairs(sets)
+    // DICTIONARY-BOUNDED graph → driver union-find. Every entity_id comes
+    // from the linker's broadcast gazetteer, so the distinct vertex set is
+    // bounded by the dictionary (the same smallness assumption the
+    // broadcast join already relies on) and the distinct pair set by
+    // observed co-occurrence pairs. The corpus-sized work (the groupBy
+    // sets, the explode + pair distinct) stays distributed; only the
+    // dictionary-sized pair relation reaches the driver — bounded by a
+    // limit-guard (spark.graft.canon.maxDriverGraph, default 2M rows)
+    // with the iterative distributed CC as the fallback for graphs that
+    // exceed it. The fast path is ONE job end to end, replacing O(log d)
+    // rounds of join/shuffle jobs (measured: the canonMap phase at 128×
+    // replication dropped 6.7 → 2.5 s combined with the single-exchange
+    // set build, BENCH.md §24; at 100 TB the collect stays
+    // dictionary-bounded and the fallback stays available).
+    val maxDriver = spark.conf.getOption("spark.graft.canon.maxDriverGraph")
+      .map(_.toInt).getOrElse(2_000_000)
+    val pairRows = pairs.limit(maxDriver + 1).collect()
+    if (pairRows.length <= maxDriver) {
+      // self-pairs union(v, v) register isolated vertices in the forest
+      // without linking anything, so the component map covers every vertex
+      val comp = ConnectedComponents.runScalar(
+        pairRows.toSeq.map(r => (r.getString(0), r.getString(1))))
+      import spark.implicits._
+      comp.toSeq.toDF("entity_id", "canon_id")
+    } else {
+      val big = pairs.localCheckpoint(true) // feeds both edges and vertices
+      ConnectedComponents.run(spark,
+          big.filter(col("dst") =!= col("src")),
+          vertices = Some(big.select(col("dst").as("entity_id"))))
+        .select(col("id").as("entity_id"), col("component").as("canon_id"))
+    }
   }
 
   /** STAR edges, not clique edges: each entity connects to its document's
@@ -92,18 +121,19 @@ object KgPipeline {
     * all-pairs self-join this replaces was the last join-explosion shape in
     * the flagship pipeline — one hot document linking 10^4 entities (a
     * README naming every product) would have pushed 5·10^7 rows through a
-    * single join key. The hub comes from a window min over the SAME
-    * relation (one exchange, no self-join); the final distinct collapses
-    * identical star edges produced by different documents.
+    * single join key. Input: per-doc entity-set rows (`es: array<string>`);
+    * the hub is `array_min` of the set — no window, no extra exchange. The
+    * final distinct collapses identical star edges produced by different
+    * documents (tiny: K-1 rows per doc in, unique pairs out).
     */
-  private[graft] def starEdges(perDoc: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-    perDoc
-      .withColumn("src", min(col("entity_id")).over(w))
-      .filter(col("entity_id") =!= col("src"))
-      .select(col("src"), col("entity_id").as("dst")).distinct()
-  }
+  private[graft] def starEdges(sets: DataFrame): DataFrame =
+    starPairs(sets).filter(col("dst") =!= col("src"))
+
+  /** (hub, member) pairs per doc-set row, self-pair included, distinct. */
+  private[graft] def starPairs(sets: DataFrame): DataFrame =
+    sets
+      .select(array_min(col("es")).as("src"), explode(col("es")).as("dst"))
+      .distinct()
 
   /** Final triple relation:
     * subj = repo/path@commit, pred = mentions:<label>, obj = entity id
@@ -116,9 +146,7 @@ object KgPipeline {
     val linked = links(spark, mentions)
     val resolved =
       if (canonicalize) {
-        // the doc-PK assertion that makes the triple dedup's LocalDistinct
-        // safe is exactly the narrow-lineage assertion canonMap needs
-        val cm = canonMap(spark, linked, assumeNarrowLinks = assumeUniqueDocs)
+        val cm = canonMap(spark, linked)
         linked.join(broadcast(cm), Seq("entity_id"), "left")
           .withColumn("obj", coalesce(col("canon_id"), col("entity_id")))
       } else linked.withColumn("obj", col("entity_id"))

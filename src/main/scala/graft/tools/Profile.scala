@@ -41,6 +41,10 @@ object Profile {
       t("tag") { KgPipeline.sentenceMentions(docs).count() }
       t("link") { KgPipeline.links(s, KgPipeline.sentenceMentions(docs)).count() }
       t("triples") { KgPipeline.triples(s, docs, sentenceLevel = true).count() }
+      t("canonMap") { KgPipeline.canonMap(s,
+        KgPipeline.links(s, KgPipeline.sentenceMentions(docs))).count() }
+      t("triples+c") { KgPipeline.triples(s, docs, sentenceLevel = true,
+        canonicalize = true).count() }
       s.stop()
     }
   }

@@ -101,6 +101,15 @@ class CacheLinkCcSpec extends AnyFunSuite {
     val got = KgPipeline.canonMap(spark, links, Seq("doc_id"))
       .as[(String, String)].collect().toMap
     assert(got == Map("E01" -> "E01", "E02" -> "E01", "E07" -> "E07"))
+    // the guarded driver fast path and the distributed fallback must agree:
+    // force the fallback by shrinking the driver-graph bound below the
+    // edge count
+    spark.conf.set("spark.graft.canon.maxDriverGraph", "1")
+    try {
+      val fb = KgPipeline.canonMap(spark, links, Seq("doc_id"))
+        .as[(String, String)].collect().toMap
+      assert(fb == got, "distributed CC fallback must produce the same map")
+    } finally spark.conf.unset("spark.graft.canon.maxDriverGraph")
   }
 
   test("J3: hot doc linking 10^4 entities emits LINEAR star edges, same components") {
@@ -112,8 +121,9 @@ class CacheLinkCcSpec extends AnyFunSuite {
     val hot = (0 until k).map(i => ("d-hot", f"E$i%05d"))
     val other = Seq(("d2", "E00000"), ("d2", "Z1"), ("d3", "Q1"))
     val links = (hot ++ other).toDF("doc_id", "entity_id")
-    val perDoc = links.distinct()
-    val edges = KgPipeline.starEdges(perDoc, Seq("doc_id"))
+    val sets = links.groupBy("doc_id")
+      .agg(collect_set(col("entity_id")).as("es"))
+    val edges = KgPipeline.starEdges(sets)
     assert(edges.count() == (k - 1) + 1 + 0,
       "star edge count must be linear in per-doc entity count")
     val got = KgPipeline.canonMap(spark, links, Seq("doc_id"))
