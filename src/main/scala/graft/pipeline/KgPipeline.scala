@@ -146,6 +146,15 @@ object KgPipeline {
     val linked = links(spark, mentions)
     val resolved =
       if (canonicalize) {
+        // The links lineage is deliberately RECOMPUTED for the two canon
+        // consumers (the co-occurrence graph and the join-back) instead
+        // of checkpointed: a localCheckpoint of the narrow link
+        // projection read ~15% faster on a clean first run, but repeated
+        // invocations in one session accumulate checkpoint blocks until
+        // the ContextCleaner catches up — measured GC time exploded to
+        // 1.7-2.4 s/run and worst-case wall time 3× the recompute path
+        // (BENCH.md §25). Same §15 verdict from the dedup pipeline:
+        // recompute narrow lineage, don't pin intermediates.
         val cm = canonMap(spark, linked)
         linked.join(broadcast(cm), Seq("entity_id"), "left")
           .withColumn("obj", coalesce(col("canon_id"), col("entity_id")))
