@@ -636,7 +636,9 @@ object SparkEntry {
         val verified = pairs.join(sa, "da").join(sb, "db")
           .filter(round(Dedup.jaccard(col("sa"), col("sb")), 6) >= 0.5)
           .select(pad(col("da")).as("src"), pad(col("db")).as("dst"))
-        ConnectedComponents.run(s, verified)
+        // runAuto: the verified duplicate-pair graph is tiny relative to
+        // the corpus → guarded driver union-find, distributed fallback
+        ConnectedComponents.runAuto(s, verified)
           .select(col("id").cast("long").as("doc_id"),
             col("component").cast("long").as("keeper"))
           .orderBy("doc_id")

@@ -101,6 +101,30 @@ object ConnectedComponents {
     labels
   }
 
+  /** [[run]] with a guarded driver fast path. Real co-occurrence /
+    * near-dup graphs are far smaller than the corpora they summarize
+    * (canonMap's is bounded by the linker's broadcast gazetteer;
+    * dedup's by the verified duplicate-pair count): when the distinct
+    * edge relation fits under `maxDriverRows`, collect it and run the
+    * iterative union-find on the driver — ONE job instead of O(log d)
+    * pointer-doubling rounds of ~6-stage jobs, whose per-round scheduling
+    * latency dominates small-graph canonicalization. Graphs that exceed
+    * the bound (checked with a limit, never an unbounded collect) fall
+    * back to the distributed loop. Isolated vertices: encode as (v, v)
+    * self-edges — they register the vertex in both paths; there is no
+    * separate vertex relation here.
+    */
+  def runAuto(spark: SparkSession, edges: DataFrame,
+      maxDriverRows: Int = 2_000_000): DataFrame = {
+    val rows = edges.select(col("src"), col("dst"))
+      .limit(maxDriverRows + 1).collect()
+    if (rows.length <= maxDriverRows) {
+      val comp = runScalar(rows.toSeq.map(r => (r.getString(0), r.getString(1))))
+      import spark.implicits._
+      comp.toSeq.toDF("id", "component")
+    } else run(spark, edges)
+  }
+
   /** Scalar union-find twin — the spec oracle, and the driver-side CC for
     * dictionary-bounded graphs (`KgPipeline.canonMap`'s guarded fast
     * path). Iterative find with path compression: stack-safe on

@@ -95,21 +95,11 @@ object KgPipeline {
     // dictionary-bounded and the fallback stays available).
     val maxDriver = spark.conf.getOption("spark.graft.canon.maxDriverGraph")
       .map(_.toInt).getOrElse(2_000_000)
-    val pairRows = pairs.limit(maxDriver + 1).collect()
-    if (pairRows.length <= maxDriver) {
-      // self-pairs union(v, v) register isolated vertices in the forest
-      // without linking anything, so the component map covers every vertex
-      val comp = ConnectedComponents.runScalar(
-        pairRows.toSeq.map(r => (r.getString(0), r.getString(1))))
-      import spark.implicits._
-      comp.toSeq.toDF("entity_id", "canon_id")
-    } else {
-      val big = pairs.localCheckpoint(true) // feeds both edges and vertices
-      ConnectedComponents.run(spark,
-          big.filter(col("dst") =!= col("src")),
-          vertices = Some(big.select(col("dst").as("entity_id"))))
-        .select(col("id").as("entity_id"), col("component").as("canon_id"))
-    }
+    // self-pairs union(v, v) register isolated vertices in the forest (and
+    // as self-edges in the distributed fallback) without linking anything,
+    // so the component map covers every vertex in both paths
+    ConnectedComponents.runAuto(spark, pairs, maxDriver)
+      .select(col("id").as("entity_id"), col("component").as("canon_id"))
   }
 
   /** STAR edges, not clique edges: each entity connects to its document's
