@@ -68,12 +68,16 @@ object SparkEntry {
     * external path is keyed by the Spark application id: concurrent apps
     * (a Verify dump during a Bench sweep) must not clobber each other's
     * table data; /dev/shm keeps the write off the jittery /tmp virtio
-    * disk the bench protocol avoids for shuffle. Each dir carries a
-    * liveness marker (the owning JVM's pid); the sweep removes only dirs
-    * whose owner is PROVABLY dead (pid no longer in /proc — sound on this
-    * single box; a real cluster would put the table on shared storage
-    * with catalog-managed lifecycle), never a live app's table out from
-    * under its catalog entry.
+    * disk the bench protocol avoids for shuffle. Each dir has a SIBLING
+    * liveness marker `<dir>.pid` holding the owning JVM's pid, written
+    * BEFORE the table build starts (a marker inside the dir would appear
+    * only after the multi-second build completes — a window in which a
+    * concurrent app's sweep would see the dir as ownerless and delete it
+    * mid-write). The sweep removes only dirs whose owner is PROVABLY
+    * dead (pid no longer in /proc — sound on this single box; a real
+    * cluster would put the table on shared storage with catalog-managed
+    * lifecycle), never a live app's table out from under its catalog
+    * entry.
     */
   private def ensureBucketedCache(s: SparkSession, dir: String): Unit =
     bucketedCacheBuilt.synchronized {
@@ -86,17 +90,26 @@ object SparkEntry {
         }
         Option(base.listFiles()).getOrElse(Array.empty)
           .filter { f =>
-            f.getName.startsWith("graft_bucketed_cache_") && {
-              val marker = new java.io.File(f, "_owner_pid")
-              val pid = try {
-                val src = scala.io.Source.fromFile(marker)
-                try src.mkString.trim finally src.close()
-              } catch { case _: Exception => "" }
-              pid.isEmpty || !new java.io.File(s"/proc/$pid").exists()
-            }
+            f.getName.startsWith("graft_bucketed_cache_") &&
+              !f.getName.endsWith(".pid") && {
+                val marker = new java.io.File(base, f.getName + ".pid")
+                val pid = try {
+                  val src = scala.io.Source.fromFile(marker)
+                  try src.mkString.trim finally src.close()
+                } catch { case _: Exception => "" }
+                pid.isEmpty || !new java.io.File(s"/proc/$pid").exists()
+              }
           }
-          .foreach(rm)
+          .foreach { f =>
+            rm(f)
+            new java.io.File(base, f.getName + ".pid").delete()
+          }
         val path = s"/dev/shm/graft_bucketed_cache_$appId"
+        // claim ownership BEFORE building: the marker must exist for the
+        // entire window in which the table dir is partially written
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$path.pid"),
+          java.lang.ProcessHandle.current().pid().toString.getBytes("UTF-8"))
         val cache = Tables.documents(s, dir)
           .filter(col("doc_id") % 3 === 0)
           .groupBy(Text.sha256Hex(col("text")).as("k"))
@@ -108,10 +121,6 @@ object SparkEntry {
           .option("path", path)
           .mode("overwrite")
           .saveAsTable("graft_bucketed_cache")
-        val pid = java.lang.ProcessHandle.current().pid()
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(path, "_owner_pid"),
-          pid.toString.getBytes("UTF-8"))
         bucketedCacheBuilt.put(appId, dir)
       }
     }

@@ -48,6 +48,14 @@ object NearestCentroid {
 
   /** Static entry point shared by interpreted eval and generated code.
     * First-max-wins over ordered-fold dots; empty matrix yields -1.
+    * The replacement test is SPARK's `>` ordering, not raw Java `>`:
+    * Spark SQL (and DuckDB) treat NaN as greater than every other value
+    * and equal to itself, while Java's `>` is false for any NaN operand —
+    * without the explicit NaN arm, a NaN score (possible from non-finite
+    * embedding values) would silently keep the earlier cell here while
+    * the HOF parity twin and the DuckDB replay pick the NaN cell.
+    * (±0.0 needs no special arm: Java `>` already agrees with Spark's
+    * "equal" verdict for 0.0 vs -0.0.)
     */
   def assign(e: ArrayData, cents: Array[Array[Double]]): Int = {
     var best = -1
@@ -62,7 +70,10 @@ object NearestCentroid {
         s += e.getDouble(j) * c(j)
         j += 1
       }
-      if (i == 0 || s > bs) { bs = s; best = i }
+      if (i == 0 || s > bs ||
+          (java.lang.Double.isNaN(s) && !java.lang.Double.isNaN(bs))) {
+        bs = s; best = i
+      }
       i += 1
     }
     best

@@ -110,12 +110,17 @@ object ConnectedComponents {
     * pointer-doubling rounds of ~6-stage jobs, whose per-round scheduling
     * latency dominates small-graph canonicalization. Graphs that exceed
     * the bound (checked with a limit, never an unbounded collect) fall
-    * back to the distributed loop. Isolated vertices: encode as (v, v)
-    * self-edges — they register the vertex in both paths; there is no
-    * separate vertex relation here.
+    * back to the distributed loop. The bound is read from ONE place —
+    * `spark.graft.cc.maxDriverGraph` (default 2M rows) — so every
+    * caller honors the same tuning knob. Isolated vertices: encode as
+    * (v, v) self-edges — they register the vertex in both paths; there
+    * is no separate vertex relation here.
     */
-  def runAuto(spark: SparkSession, edges: DataFrame,
-      maxDriverRows: Int = 2_000_000): DataFrame = {
+  val maxDriverGraphConfKey = "spark.graft.cc.maxDriverGraph"
+
+  def runAuto(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val maxDriverRows = spark.conf.getOption(maxDriverGraphConfKey)
+      .map(_.toInt).getOrElse(2_000_000)
     val rows = edges.select(col("src"), col("dst"))
       .limit(maxDriverRows + 1).collect()
     if (rows.length <= maxDriverRows) {

@@ -92,23 +92,29 @@ object Multimodal {
     df.withColumn("payload",
       encodeBmpUdf(col(textCol), widthCol(col(textCol)), heightCol(col(textCol))))
 
-  /** Wrap a partition iterator so `cleanup` runs exactly once, when the
-    * iterator is exhausted — releases each partition's reusable
-    * ImageReader/ImageWriter native resources instead of leaving them to
-    * finalization (Spark fully drains mapPartitions iterators, so
-    * exhaustion is reached on both complete and downstream-limited runs
-    * of the partitions that start).
+  /** Wrap a partition iterator so `cleanup` runs exactly once — releases
+    * each partition's reusable ImageReader/ImageWriter native resources
+    * instead of leaving them to finalization. Exhaustion alone is NOT a
+    * sufficient trigger: a downstream `limit`/`take` stops pulling before
+    * `hasNext` ever returns false, so the cleanup is ALSO registered as a
+    * task-completion listener (fires on normal completion, early
+    * termination, and failure alike); the exhaustion arm merely releases
+    * the resource as early as possible on full drains.
     */
-  private def onExhaustion[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] =
+  private def onExhaustion[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] = {
+    var cleaned = false
+    def clean(): Unit = if (!cleaned) { cleaned = true; cleanup }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => clean()))
     new Iterator[T] {
-      private var cleaned = false
       override def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !cleaned) { cleaned = true; cleanup }
+        if (!h) clean()
         h
       }
       override def next(): T = it.next()
     }
+  }
 
   /** Batch decode with `javax.imageio`: one reader per partition,
     * iterator-in / iterator-out (the mapInPandas batch shape). Input must

@@ -86,19 +86,18 @@ object KgPipeline {
     // observed co-occurrence pairs. The corpus-sized work (the groupBy
     // sets, the explode + pair distinct) stays distributed; only the
     // dictionary-sized pair relation reaches the driver — bounded by a
-    // limit-guard (spark.graft.canon.maxDriverGraph, default 2M rows)
-    // with the iterative distributed CC as the fallback for graphs that
-    // exceed it. The fast path is ONE job end to end, replacing O(log d)
+    // limit-guard (spark.graft.cc.maxDriverGraph, default 2M rows, read
+    // inside runAuto so every caller honors the same knob) with the
+    // iterative distributed CC as the fallback for graphs that exceed
+    // it. The fast path is ONE job end to end, replacing O(log d)
     // rounds of join/shuffle jobs (measured: the canonMap phase at 128×
     // replication dropped 6.7 → 2.5 s combined with the single-exchange
     // set build, BENCH.md §24; at 100 TB the collect stays
     // dictionary-bounded and the fallback stays available).
-    val maxDriver = spark.conf.getOption("spark.graft.canon.maxDriverGraph")
-      .map(_.toInt).getOrElse(2_000_000)
     // self-pairs union(v, v) register isolated vertices in the forest (and
     // as self-edges in the distributed fallback) without linking anything,
     // so the component map covers every vertex in both paths
-    ConnectedComponents.runAuto(spark, pairs, maxDriver)
+    ConnectedComponents.runAuto(spark, pairs)
       .select(col("id").as("entity_id"), col("component").as("canon_id"))
   }
 

@@ -104,12 +104,12 @@ class CacheLinkCcSpec extends AnyFunSuite {
     // the guarded driver fast path and the distributed fallback must agree:
     // force the fallback by shrinking the driver-graph bound below the
     // edge count
-    spark.conf.set("spark.graft.canon.maxDriverGraph", "1")
+    spark.conf.set(ConnectedComponents.maxDriverGraphConfKey, "1")
     try {
       val fb = KgPipeline.canonMap(spark, links, Seq("doc_id"))
         .as[(String, String)].collect().toMap
       assert(fb == got, "distributed CC fallback must produce the same map")
-    } finally spark.conf.unset("spark.graft.canon.maxDriverGraph")
+    } finally spark.conf.unset(ConnectedComponents.maxDriverGraphConfKey)
   }
 
   test("J3: hot doc linking 10^4 entities emits LINEAR star edges, same components") {

@@ -228,6 +228,19 @@ class DedupSimSpec extends AnyFunSuite {
         .cast("int")).as[(Long, Int)].collect().toMap
       assert(native == hof, s"nlist=$nlist d=$d")
     }
+    // NaN scores: Spark's `>` ranks NaN above every finite value (and
+    // DuckDB agrees), Java's `>` is false for NaN — the native kernel
+    // carries an explicit NaN arm to follow Spark. The first NaN-scoring
+    // cell must beat finite scores before AND after it.
+    val nanCents = Array(Array(1.0, 0.0), Array(Double.NaN, 0.0), Array(0.0, 1.0))
+    val nanDf = Seq((1L, Seq(2.0, 3.0))).toDF("id", "e")
+      .select(col("id"), col("e").cast("array<double>").as("e"))
+    val nNative = nanDf.select(Similarity.assignCell(col("e"), nanCents))
+      .as[Int].head()
+    val nHof = nanDf.select(Similarity.assignCellHof(col("e"), nanCents)
+      .cast("int")).as[Int].head()
+    assert(nNative == 1 && nHof == 1,
+      s"NaN cell must win under Spark ordering: native=$nNative hof=$nHof")
   }
 
   test("ANN: LSH path returns valid neighbors with nonzero recall (seeded)") {
