@@ -88,22 +88,43 @@ object SparkEntry {
           Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
           x.delete()
         }
+        // Sweep rules, safest-first: an EXISTING-but-unreadable marker is
+        // treated as a live owner (a transient read failure is not proof
+        // of death — deleting a live app's table under its catalog entry
+        // is the one unacceptable outcome); a missing marker or dead pid
+        // only qualifies after a 1h idle grace (covers pre-marker-era
+        // dirs and any claim/create window); and a generous 12h mtime
+        // cap bounds tmpfs growth even when pid recycling makes a dead
+        // owner look alive (bench/verify sessions run minutes, not
+        // hours). Orphan markers whose dir is gone age out the same way.
+        val now = System.currentTimeMillis
+        def idleFor(f: java.io.File, ms: Long): Boolean =
+          f.lastModified < now - ms
         Option(base.listFiles()).getOrElse(Array.empty)
           .filter { f =>
             f.getName.startsWith("graft_bucketed_cache_") &&
               !f.getName.endsWith(".pid") && {
                 val marker = new java.io.File(base, f.getName + ".pid")
-                val pid = try {
-                  val src = scala.io.Source.fromFile(marker)
-                  try src.mkString.trim finally src.close()
-                } catch { case _: Exception => "" }
-                pid.isEmpty || !new java.io.File(s"/proc/$pid").exists()
+                val alive =
+                  if (!marker.exists()) false
+                  else (try {
+                    val src = scala.io.Source.fromFile(marker)
+                    val pid = try src.mkString.trim finally src.close()
+                    pid.nonEmpty && new java.io.File(s"/proc/$pid").exists()
+                  } catch { case _: Exception => true }) // unreadable -> live
+                (!alive && idleFor(f, 3600_000L)) || idleFor(f, 12 * 3600_000L)
               }
           }
           .foreach { f =>
             rm(f)
             new java.io.File(base, f.getName + ".pid").delete()
           }
+        Option(base.listFiles()).getOrElse(Array.empty)
+          .filter(m => m.getName.startsWith("graft_bucketed_cache_") &&
+            m.getName.endsWith(".pid") &&
+            !new java.io.File(base, m.getName.stripSuffix(".pid")).exists() &&
+            idleFor(m, 12 * 3600_000L))
+          .foreach(_.delete())
         val path = s"/dev/shm/graft_bucketed_cache_$appId"
         // claim ownership BEFORE building: the marker must exist for the
         // entire window in which the table dir is partially written

@@ -119,10 +119,34 @@ object ConnectedComponents {
   val maxDriverGraphConfKey = "spark.graft.cc.maxDriverGraph"
 
   def runAuto(spark: SparkSession, edges: DataFrame): DataFrame = {
+    // STRING ids required up front: the driver path orders components by
+    // String min while the distributed path would use the column's native
+    // ordering — numeric ids would pick a DIFFERENT canonical
+    // representative depending on which path the graph's SIZE selects.
+    // Fail analysis loudly instead (format ids first, as the near-dup
+    // query's lpad does — zero-padding keeps numeric and lexicographic
+    // order aligned).
+    val proj = edges.select(col("src"), col("dst"))
+    proj.schema.fields.filterNot(
+        _.dataType == org.apache.spark.sql.types.StringType) match {
+      case bad if bad.nonEmpty =>
+        throw new IllegalArgumentException(
+          "runAuto requires string vertex ids (driver and distributed " +
+            "paths must agree on min-id ordering); cast/format first: " +
+            bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+      case _ =>
+    }
     val maxDriverRows = spark.conf.getOption(maxDriverGraphConfKey)
       .map(_.toInt).getOrElse(2_000_000)
-    val rows = edges.select(col("src"), col("dst"))
-      .limit(maxDriverRows + 1).collect()
+    // NOTE on the over-bound path: the probe has already executed the
+    // upstream lineage once, and run() recomputes it (its own checkpoint
+    // of the symmetrized edges). Pre-checkpointing the edges before the
+    // probe would avoid that ONE extra aggregation — but would pin
+    // checkpoint blocks on EVERY call of the common small-graph path,
+    // the exact repeated-invocation accumulation measured in BENCH.md
+    // §25. One bounded recompute on the rare fallback is the better
+    // trade.
+    val rows = proj.limit(maxDriverRows + 1).collect()
     if (rows.length <= maxDriverRows) {
       val comp = runScalar(rows.toSeq.map(r => (r.getString(0), r.getString(1))))
       import spark.implicits._
