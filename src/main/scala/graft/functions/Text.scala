@@ -157,6 +157,38 @@ object Text {
 
   def sha256SqlDuck(col: String): String = s"sha256(CAST($col AS VARCHAR))"
 
+  // ---- reference cache-key parity (migration utility) ---------------------
+  // The reference's on-disk cache key is uuid5(NAMESPACE_X500, sentence)
+  // (cacheServer.py:34,66,96 — RFC 4122 v5: SHA-1 over namespace bytes +
+  // UTF-8 name, version/variant bits forced). The engine standardizes on
+  // sha256 for its own keys (BASELINE.json row invariant), so this exists
+  // ONLY so a migration from a real reference cache file can verify and
+  // re-key entries. Golden-spec'd against Python's uuid.uuid5 (DuckDB has
+  // no SHA-1, so no SQL oracle is possible — TextSplitSpec pins goldens).
+
+  /** RFC 4122 NAMESPACE_X500 = 6ba7b814-9dad-11d1-80b4-00c04fd430c8. */
+  private val namespaceX500: Array[Byte] =
+    Array(0x6b, 0xa7, 0xb8, 0x14, 0x9d, 0xad, 0x11, 0xd1,
+      0x80, 0xb4, 0x00, 0xc0, 0x4f, 0xd4, 0x30, 0xc8).map(_.toByte)
+
+  def uuid5X500Scalar(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(namespaceX500)
+    val h = md.digest(s.getBytes("UTF-8")).take(16)
+    h(6) = ((h(6) & 0x0f) | 0x50).toByte // version 5
+    h(8) = ((h(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
+    val hex = h.map("%02x".format(_)).mkString
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20)}"
+  }
+
+  /** Column form (UDF — a migration utility outside the hot path; the
+    * engine's own keys stay on the codegen'd [[sha256Hex]]).
+    */
+  def uuid5X500(c: Column): Column =
+    udf((s: String) => if (s == null) null else uuid5X500Scalar(s))
+      .apply(c.cast("string"))
+
   // ---- deterministic hex-prefix bucketing (O3 stratified split) ----------
   // Engine-agnostic replacement for seeded sampling: the first two hex chars
   // of sha256(key) give a uniform [0,256) bucket identical in Spark & DuckDB.

@@ -300,6 +300,34 @@ class TextSplitSpec extends AnyFunSuite {
     assert(XmlCorpus.articles(drops).select("doc_id").as[Long].collect().toSeq == Seq(4L))
   }
 
+  test("uuid5 X500 cache-key parity: goldens from Python uuid.uuid5(NAMESPACE_X500, s)") {
+    // the reference's on-disk cache key (cacheServer.py:34,66,96) — a
+    // migration from a real reference cache file must reproduce its keys
+    // exactly. Goldens generated with CPython's uuid module; covers the
+    // empty string, ASCII, multi-byte UTF-8, and a 500-char sentence
+    // (the reference's maxnosplit bound).
+    val goldens = Seq(
+      "" -> "b4bdf874-8c03-5bd8-8fd7-5e409dfd82c0",
+      "a" -> "54a0a790-c611-5b5b-b50e-ff01490ecdfa",
+      "Der Satz eins ist hier." -> "b818ea30-b825-5de8-83c3-2dba27c1271a",
+      "hello world" -> "dbd9b896-6d7c-5852-895c-ecc5735cf874",
+      "Ümläut — çafé ☕ 漢字" -> "3aa03512-7133-5e8b-b714-c89aa5581ecd",
+      ("x" * 500) -> "8e80d98b-f8ed-5f89-b736-c2247c111e5c")
+    goldens.foreach { case (s, want) =>
+      assert(Text.uuid5X500Scalar(s) == want, s"scalar for <${s.take(20)}>")
+    }
+    // column form agrees with the scalar (and handles null)
+    val got = goldens.map(_._1).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+      .select(col("id"), Text.uuid5X500(col("s")).as("u"))
+      .as[(Long, String)].collect().toMap
+    goldens.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i.toLong) == want)
+    }
+    assert(Seq((1L, null: String)).toDF("id", "s")
+      .select(Text.uuid5X500(col("s"))).as[String].head() == null)
+  }
+
   test("G3 chunk: short text passes through whole (ner.py:181,204)") {
     val df = Seq((1L, "short text. stays whole.")).toDF("doc_id", "content")
     val out = Chunker.explodeChunks(df, maxNoSplit = 500)
