@@ -211,17 +211,41 @@ object Bench {
     // land on the same co-tenant contention burst (the reason the
     // scaling evidence uses separated passes); the interleaved work
     // provides the separation without stretching the bench.
+    //
+    // The canon-FREE headline gets the same separated-window samples
+    // (headTimes), and triples_per_sec publishes the best across BOTH
+    // sources — these samples and the scaling session's max-level times.
+    // Round-4 lesson: the scaling session's max-level windows all landed
+    // in co-tenant contention once (raw 10.6-105.9 s vs a 4.4 s clean
+    // sample), halving the committed flagship number while the same
+    // JSON's 8-thread level read faster than its 32-thread level; the
+    // min-stability stop rule guarantees stable minima per level, not
+    // CLEAN ones, so the flagship metric must not hang off one session's
+    // windows. All raw samples ship in the JSON.
     val (triplesCanon, _) = time(headlineCanon(spark, sfDir, scaleRepl))
     val canonTimes = scala.collection.mutable.ArrayBuffer[Double]()
+    val headTimes = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleHead(): Unit = {
+      val (tr, t) = time(headline(spark, sfDir, scaleRepl))
+      require(tr == triples,
+        "headline samples must produce the scaling runs' triple count")
+      headTimes += t
+    }
     canonTimes += time(headlineCanon(spark, sfDir, scaleRepl))._2
+    sampleHead()
     val (results, queryErrors) =
       runQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
     canonTimes += time(headlineCanon(spark, sfDir, scaleRepl))._2
+    sampleHead()
     val (triplesSingle, tTriples) = time(
       KgPipeline.triples(spark, Tables.docsDf(spark, sfDir),
         sentenceLevel = true).count())
     canonTimes += time(headlineCanon(spark, sfDir, scaleRepl))._2
+    sampleHead()
     val tputCanon = triplesCanon / canonTimes.min
+    // flagship: best across the scaling session's max level and the
+    // separated-window samples above
+    val tputHead = triples / (timesByLevel(cpus) ++ headTimes).min
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -248,9 +272,10 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errsJson,"errors_count":${queryErrors.size},""" +
       s""""total_valid":${queryErrors.isEmpty},""" +
-      s""""sf":"$sfDir","triples_per_sec":${f"$tputHigh%.1f"},""" +
+      s""""sf":"$sfDir","triples_per_sec":${f"$tputHead%.1f"},""" +
       s""""triples_per_sec_canon":${f"$tputCanon%.1f"},""" +
       s""""triples_canon":$triplesCanon,""" +
+      s""""head_times_sec":[${headTimes.map(t => f"$t%.2f").mkString(",")}],""" +
       s""""canon_times_sec":[${canonTimes.map(t => f"$t%.2f").mkString(",")}],""" +
       s""""triples_sf":$triplesSingle,"triples_sf_sec":$tTriples,""" +
       s""""scaling":$scaling}""")

@@ -77,12 +77,22 @@ object SparkEntry {
     * dead (pid no longer in /proc — sound on this single box; a real
     * cluster would put the table on shared storage with catalog-managed
     * lifecycle), never a live app's table out from under its catalog
-    * entry.
+    * entry. On every REUSE the owner re-touches its marker and dir (and
+    * verifies the table files still exist, rebuilding if a sweep got
+    * them): without the touch, a session outliving the sweep's 12h mtime
+    * cap would keep serving a catalog entry whose files a concurrent
+    * app's sweep deleted.
     */
   private def ensureBucketedCache(s: SparkSession, dir: String): Unit =
     bucketedCacheBuilt.synchronized {
       val appId = s.sparkContext.applicationId
-      if (bucketedCacheBuilt.get(appId) != dir) {
+      val tablePath = new java.io.File(s"/dev/shm/graft_bucketed_cache_$appId")
+      if (bucketedCacheBuilt.get(appId) == dir && tablePath.exists()) {
+        val now = System.currentTimeMillis
+        new java.io.File(tablePath.getPath + ".pid").setLastModified(now)
+        tablePath.setLastModified(now)
+      } else {
+        bucketedCacheBuilt.remove(appId)
         val base = new java.io.File("/dev/shm")
         def rm(x: java.io.File): Unit = {
           Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -112,7 +122,13 @@ object SparkEntry {
                     val pid = try src.mkString.trim finally src.close()
                     pid.nonEmpty && new java.io.File(s"/proc/$pid").exists()
                   } catch { case _: Exception => true }) // unreadable -> live
-                (!alive && idleFor(f, 3600_000L)) || idleFor(f, 12 * 3600_000L)
+                // the 12h arm requires the MARKER stale too: a live owner
+                // re-touches it on every reuse, so only sessions that have
+                // genuinely stopped using the table (or died with a
+                // recycled pid) age out
+                (!alive && idleFor(f, 3600_000L)) ||
+                  (idleFor(f, 12 * 3600_000L) &&
+                    idleFor(marker, 12 * 3600_000L))
               }
           }
           .foreach { f =>
@@ -495,6 +511,51 @@ object SparkEntry {
         |  UNION SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.nd)
         |SELECT nd AS entity_id, min(lbl) AS canon_id FROM reach GROUP BY nd ORDER BY entity_id""".stripMargin)),
 
+    // ---- J3 (distributed path): the SAME canonicalization with the
+    // driver-graph guard pinned to 1, so runAuto's limit-probe overflows
+    // and the pointer-doubling loop — the path a >2M-edge production graph
+    // actually executes — produces the DuckDB-green row itself. The conf
+    // is set/restored INSIDE the impl; runAuto's probe and the iterative
+    // loop both execute eagerly (limit-collect / per-iteration checkpoint
+    // + convergence count), so the restore in `finally` cannot race the
+    // plan. Oracle: identical recursive-CTE SQL as j3_canon — the two
+    // paths must agree bit-for-bit, now checked cross-engine, not only by
+    // the conf-forced equivalence spec (CacheLinkCcSpec).
+    QuerySpec("j3_canon_dist",
+      (s, dir) => {
+        val key = ConnectedComponents.maxDriverGraphConfKey
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "1")
+        try {
+          val linked = Linker.link(s,
+            taggedMentions(s, dir).filter(col("confidence") >= thr)
+              .select("doc_id", "lang", "mention")
+              .distinct(),
+            Seq("doc_id"))
+          KgPipeline.canonMap(s, linked, Seq("doc_id")).orderBy("entity_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some(s"""WITH RECURSIVE m AS (SELECT DISTINCT doc_id, lang, mention FROM $taggedRel t WHERE confidence >= $thr),
+        |n AS (SELECT doc_id, lang, mention, ${Lemmatizer.normalizeSqlDuck("mention")} AS mention_norm FROM m),
+        |cand AS (SELECT n.doc_id, n.mention, d.entity_id,
+        |  d.prior + CASE WHEN n.lang = d.pref_lang THEN CAST(${Tagger.langBonus} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS score
+        |  FROM n JOIN ${Tagger.aliasSqlDuck} d ON n.mention_norm = d.alias_norm
+        |  WHERE length(n.mention_norm) > 0),
+        |links AS (SELECT doc_id, entity_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention ORDER BY score DESC, entity_id) AS rn FROM cand) w
+        |  WHERE rn = 1),
+        |perdoc AS (SELECT DISTINCT doc_id, entity_id FROM links),
+        |pairs AS (SELECT DISTINCT a.entity_id AS s, b.entity_id AS d FROM perdoc a
+        |  JOIN perdoc b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id),
+        |edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+        |nodes AS (SELECT DISTINCT entity_id AS nd FROM links),
+        |reach(nd, lbl) AS (SELECT nd, nd FROM nodes
+        |  UNION SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.nd)
+        |SELECT nd AS entity_id, min(lbl) AS canon_id FROM reach GROUP BY nd ORDER BY entity_id""".stripMargin)),
+
     // ---- O2: retention top-K by recency (ner-clean-cache.sh:9) ----------
     QuerySpec("o2_retention",
       (s, dir) => {
@@ -592,6 +653,30 @@ object SparkEntry {
           |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_bands
           |FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // ---- dedup: LSH overflow surfacing — the bands the cap EXCLUDED from
+    // pair expansion ("never silently": at pretraining scale the capped-out
+    // boilerplate bands are exactly what an operator needs to see). The
+    // driver fixture has no band hotter than the production cap (64), so
+    // the gate runs the same surfacing relation at Dedup.overflowGateCap=1:
+    // every band shared by ≥2 docs overflows, and the DuckDB twin (the
+    // lsh_pairs QUALIFY inverted) checks the band keys and counts exactly.
+    QuerySpec("dedup_overflow",
+      (s, dir) => {
+        val sh = Dedup.withShingleDigests(cleanedDocs(s, dir), "cleaned")
+        val bands = sh.select(col("doc_id"),
+          explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
+        Dedup.lshOverflowBands(bands, maxBucketSize = Dedup.overflowGateCap)
+          .orderBy("band")
+      },
+      Some {
+        val sh = Dedup.shinglesSqlDuck("string_split(cleaned, ' ')")
+        val keys = Dedup.bandKeysSqlDuck("sh").mkString("[", ", ", "]")
+        s"""WITH s AS (SELECT doc_id, $sh AS sh FROM $cleanedRel c),
+          |bands AS (SELECT doc_id, unnest($keys) AS band FROM s)
+          |SELECT band, count(*) AS n FROM bands GROUP BY band
+          |HAVING count(*) > ${Dedup.overflowGateCap} ORDER BY band""".stripMargin
       }),
 
     // ---- dedup: SimHash ---------------------------------------------------
@@ -1039,6 +1124,29 @@ object SparkEntry {
           |cl AS (SELECT doc_id, lang, ${Text.cleanupSqlDuck("t")} AS ct FROM base)
           |SELECT doc_id, 'dept-' || lang AS department,
           |  ${Text.datelineStripSqlDuck("ct")} AS content
+          |FROM cl ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- S5 (fasttext artifact): the notebook's final training file
+    // (cell 7) — `__label__<dept> <text>` lines over the same extracted
+    // article relation. The oracle concatenates the same predicted fields;
+    // doc_id rides along as the unique sort key (the notebook writes bare
+    // lines; the driver compare needs a total order).
+    QuerySpec("s5_fasttext",
+      (s, dir) => graft.sources.XmlCorpus.fasttextLine(
+          graft.sources.XmlCorpus.articles(
+            Tables.documents(s, dir).select(col("doc_id"),
+              graft.sources.XmlCorpus.syntheticArticleXml(
+                col("doc_id"), col("lang"), col("text")).as("xml"))),
+          keyCols = Seq("doc_id"))
+        .orderBy("doc_id"),
+      Some {
+        val t = graft.sources.XmlCorpus.sanitizeSqlDuck("text")
+        s"""WITH base AS (SELECT doc_id, lang, $t AS t FROM documents
+          |  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0),
+          |cl AS (SELECT doc_id, lang, ${Text.cleanupSqlDuck("t")} AS ct FROM base)
+          |SELECT doc_id, '__label__dept-' || lang || ' ' ||
+          |  trim(${Text.datelineStripSqlDuck("ct")}) AS line
           |FROM cl ORDER BY doc_id""".stripMargin
       }),
 

@@ -18,9 +18,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -31,6 +31,12 @@ object Verify {
       .map { case (k, v) => s"${JsonUtil.str(k)}: ${JsonUtil.str(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of THIS run's dump set: check_oracle.py's --only-existing
+    // guard uses it to tell freshly-dumped dirs from stale leftovers of a
+    // previous full run (a subset dump of only rows-only queries must pass;
+    // a typo'd filter over stale state must still fail)
+    Files.writeString(Paths.get(s"$outDir/dumped.json"),
+      selected.keys.toSeq.sorted.map(JsonUtil.str).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -21,6 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * cell (strict `>` replaces) — first-max-wins, i.e. max score / min cell,
   * matching the HOF parity twin (`Similarity.assignCellHof`) and the
   * oracle's `ORDER BY s DESC, cell` ranking. Pinned by a randomized spec.
+  *
+  * Prefix-fold contract (same as [[DotProduct]]): each score folds over
+  * `min(embedding length, centroid length)` elements — an embedding whose
+  * dimension disagrees with the centroids' yields the prefix-truncated
+  * score, not an error. The HOF twin and the DuckDB replay share the
+  * contract (zip_with truncates identically), so parity holds either way;
+  * callers who need malformed-dimension inputs to fail should validate
+  * `size(embedding)` upstream, as `Similarity.trainCentroids`' docs note.
   */
 case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     extends UnaryExpression with ImplicitCastInputTypes {

@@ -115,6 +115,15 @@ object ConnectedComponents {
     * caller honors the same tuning knob. Isolated vertices: encode as
     * (v, v) self-edges — they register the vertex in both paths; there
     * is no separate vertex relation here.
+    *
+    * Driver-memory contract: the guard is ROW-COUNT-based, not byte-based —
+    * the probe materializes up to `maxDriverGraph` two-string `Row`s on the
+    * driver before deciding, so driver heap for the probe is roughly
+    * rows × (2 × id length) × ~4 (Row + String + char[] overhead). The 2M
+    * default assumes short ids (entity slugs, zero-padded numerics: tens
+    * of MB); callers with long ids (URLs, paths) should size
+    * `spark.graft.cc.maxDriverGraph` down proportionally — the distributed
+    * fallback is always available and produces the identical map.
     */
   val maxDriverGraphConfKey = "spark.graft.cc.maxDriverGraph"
 
@@ -158,6 +167,14 @@ object ConnectedComponents {
     * dictionary-bounded graphs (`KgPipeline.canonMap`'s guarded fast
     * path). Iterative find with path compression: stack-safe on
     * million-edge chains, near-linear total.
+    *
+    * Min-id ordering is UTF-8 BYTE-wise ([[utf8Lt]]), NOT Java
+    * `String.compareTo`: the distributed path's `min(component)` orders by
+    * Spark's UTF8String binary comparison (= code-point order), and Java's
+    * UTF-16 code-unit order disagrees for supplementary characters mixed
+    * with U+E000..U+FFFF — both paths (and DuckDB's memcmp collation) must
+    * pick the same canonical representative regardless of which one the
+    * graph's size selects.
     */
   def runScalar(edges: Seq[(String, String)]): Map[String, String] = {
     val parent = scala.collection.mutable.Map.empty[String, String]
@@ -170,9 +187,26 @@ object ConnectedComponents {
     }
     def union(a: String, b: String): Unit = {
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      if (ra != rb) { if (utf8Lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
     }
     edges.foreach { case (a, b) => union(a, b) }
     parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  /** UTF-8 byte-wise "less than" — Spark UTF8String / DuckDB memcmp order.
+    * Equivalent to code-point order; ASCII-only ids are unaffected. The
+    * per-comparison encode is fine at the guarded ≤2M-edge driver scale.
+    */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
   }
 }

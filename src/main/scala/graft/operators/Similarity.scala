@@ -240,6 +240,14 @@ object Similarity {
     * 2·d-aggregate groupBy over nlist cells; only the (nlist × d) centroid
     * matrix ever reaches the driver. Empty cells keep their previous
     * centroid.
+    *
+    * Dimension contract: embeddings are assumed to share the centroid
+    * dimension (the seeded init fixes d from [[Similarity.dims]]). A
+    * shorter/longer embedding is NOT an error — every scoring path
+    * (NearestCentroid kernel, HOF twin, DuckDB replay) folds over the
+    * common prefix, so a malformed row gets a prefix-truncated assignment
+    * rather than a failure; validate `size(embedding)` upstream if mixed
+    * dimensions should fail loudly.
     */
   def trainCentroids(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
       seed: Long = 7L, d: Int = dim): Array[Array[Double]] = {

@@ -66,10 +66,13 @@ object XmlCorpus {
       .filter(length(trim(col("department"))) > 0)
       .drop(xmlCol)
 
-  /** fasttext serialization `__label__<dept> <text>` (notebook cell 7). */
-  def fasttextLine(df: DataFrame): DataFrame =
-    df.select(concat(lit("__label__"), trim(col("department")), lit(" "),
-      trim(col("content"))).as("line"))
+  /** fasttext serialization `__label__<dept> <text>` (notebook cell 7).
+    * `keyCols` ride along for provenance / a total output order (the
+    * notebook writes bare lines; the driver gate needs a unique sort key).
+    */
+  def fasttextLine(df: DataFrame, keyCols: Seq[String] = Nil): DataFrame =
+    df.select(keyCols.map(col) :+ concat(lit("__label__"),
+      trim(col("department")), lit(" "), trim(col("content"))).as("line"): _*)
 
   // ---- deterministic fixture synthesis (driver-gate oracle support) -------
   // The driver corpus has no XML table, so the s5_xml gate synthesizes

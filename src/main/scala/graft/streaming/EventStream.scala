@@ -85,7 +85,11 @@ object EventStream {
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom per-key state via mapGroupsWithState: running event count and
-    * value sum per user (the KeyValueGroupedDataset stateful path).
+    * value sum per user (the KeyValueGroupedDataset stateful path). State
+    * is UNBOUNDED (one entry per user id ever seen) — correct for finite
+    * replays/backfills; long-running deployments should use
+    * [[runningPerUserWithHorizon]], whose event-time timeout evicts idle
+    * keys the way the reference's cache retention bounds its cache file.
     */
   def runningPerUser(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
     import spark.implicits._
@@ -99,6 +103,51 @@ object EventStream {
           rows.foreach { r => n += 1; v += r._2 }
           state.update((n, v))
           UserRunning(uid, n, v)
+      }
+  }
+
+  /** [[runningPerUser]] with a bounded state horizon — the
+    * mapGroupsWithState twin of [[dedupDocsWithHorizon]] (the r4 dedup
+    * horizon; same 3M-entry retention reasoning as the reference's weekly
+    * cache clean, `ner-clean-cache.sh:9`). A key idle past `horizon` in
+    * EVENT time has its state evicted via `EventTimeTimeout`: the timeout
+    * timestamp is re-armed to (batch-max event time + horizon) on every
+    * batch that carries the key, and once the stream's watermark passes it,
+    * the timed-out invocation removes the state and emits nothing
+    * (flatMapGroupsWithState — a timeout is an eviction, not an output
+    * row). A key re-arriving after eviction restarts its totals from zero,
+    * exactly as an expired cache entry is recomputed. State size is bounded
+    * by (active keys within the horizon), not the stream's lifetime.
+    */
+  def runningPerUserWithHorizon(spark: SparkSession, events: DataFrame,
+      horizon: String = "1 hour",
+      watermarkDelay: String = "0 seconds"): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"),
+        col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+            state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var v = v0; var maxTs = Long.MinValue
+            rows.foreach { r =>
+              n += 1; v += r._2
+              if (r._3.getTime > maxTs) maxTs = r._3.getTime
+            }
+            state.update((n, v))
+            // re-arm relative to the key's own newest event: the state
+            // lives exactly `horizon` of event time past its last activity
+            state.setTimeoutTimestamp(maxTs, horizon)
+            Iterator.single(UserRunning(uid, n, v))
+          }
       }
   }
 }

@@ -310,4 +310,45 @@ class AnalysisStreamingSpec extends AnyFunSuite {
       .groupBy("user_id").count().as[(Long, Long)].collect().toMap
     assert(streamed == batch)
   }
+
+  test("streaming: horizon running totals — idle key evicted, restart from zero") {
+    // the mapGroupsWithState twin of the r4 horizon dedup: EventTimeTimeout
+    // evicts a key idle past the horizon (event time), and the key's next
+    // event restarts its totals instead of continuing them. MemoryStream
+    // gives batch-precise watermark control (the watermark the timeout
+    // check uses is the one computed at the END of the previous batch).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double, String)]
+    val q = EventStream.runningPerUserWithHorizon(spark,
+        ms.toDF().toDF("user_id", "value", "ts"), horizon = "1 hour")
+      .writeStream.format("memory").queryName("running_horizon")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 (10:00) and user 2 (10:05) start counting
+      ms.addData((1L, 5.0, "2024-01-01 10:00:00"), (2L, 1.0, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // batch 2: user 2 again at 20:00 -> its totals continue (n=2) and the
+      // watermark advances to 20:00 > user 1's timeout (10:00 + 1h)
+      ms.addData((2L, 2.0, "2024-01-01 20:00:00"))
+      q.processAllAvailable()
+      // batch 3: user 2 keeps the stream moving; user 1's timeout fires
+      // (eviction, no output row for user 1)
+      ms.addData((2L, 3.0, "2024-01-01 20:30:00"))
+      q.processAllAvailable()
+      // batch 4: user 1 re-arrives AFTER eviction -> totals restart at 1
+      ms.addData((1L, 7.0, "2024-01-01 20:45:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("running_horizon")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    // user 1: two emissions, BOTH n_events=1 (restart, not n=2), with the
+    // restarted total reflecting only the post-eviction event
+    assert(rows.filter(_._1 == 1L).map(r => (r._2, r._3)).sorted ==
+      Seq((1L, 5.0), (1L, 7.0)),
+      s"expected user 1 to restart after eviction, got $rows")
+    // user 2: uninterrupted progression 1, 2, 3
+    assert(rows.filter(_._1 == 2L).map(_._2).sorted == Seq(1L, 2L, 3L))
+  }
 }

@@ -215,6 +215,25 @@ class CacheLinkCcSpec extends AnyFunSuite {
     }
   }
 
+  test("J3: driver and distributed paths agree on NON-ASCII min-id ordering") {
+    // U+E000 (private use, 3-byte UTF-8) vs U+1F600 (emoji, 4-byte UTF-8):
+    // UTF-8 byte order puts U+E000 first; Java String.compareTo orders by
+    // UTF-16 code units, where the emoji's high surrogate (0xD83D) sorts
+    // BELOW 0xE000 — the exact divergence the r4 advisor flagged. Both
+    // paths must pick the UTF8String/memcmp representative, so which path
+    // the graph's size selects never changes the output.
+    val puaId = "\uE000x"
+    val emojiId = new String(Character.toChars(0x1F600)) + "x"
+    assert(puaId.compareTo(emojiId) > 0, "precondition: Java order inverted")
+    val edges = Seq((puaId, emojiId))
+    val scalar = ConnectedComponents.runScalar(edges)
+    assert(scalar.values.toSet == Set(puaId),
+      "driver union-find must use UTF-8 byte order, not String.compareTo")
+    val dist = ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+      .as[(String, String)].collect().toMap
+    assert(dist == scalar)
+  }
+
   test("J3: fixpoint — one more iteration changes nothing") {
     val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
     val l1 = ConnectedComponents.run(spark, edges, maxIter = 20)

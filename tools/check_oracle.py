@@ -14,6 +14,11 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# names graft.Verify actually dumped THIS run (None for pre-manifest dumps):
+# distinguishes fresh rows-only dirs from stale leftovers of a previous run
+dumped = None
+if os.path.exists(f"{out_dir}/dumped.json"):
+    dumped = set(json.load(open(f"{out_dir}/dumped.json")))
 
 def norm(v):
     if v is None:
@@ -62,6 +67,7 @@ for name in sorted(oracle):
     print(f"PASS {name} ({len(s)} rows)")
 
 # rows-only checks for non-oracle queries
+fresh_skips = 0
 for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
     name = os.path.basename(res_dir.rstrip("/"))
     if name in oracle:
@@ -70,14 +76,16 @@ for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
     status = "ROWS" if n > 0 else "EMPTY!"
     print(f"{status} {name} ({n} rows)")
     skips += 1
+    if dumped is None or name in dumped:
+        fresh_skips += 1
 
 if missing:
     print(f"(--only-existing: skipped {missing} queries with no dump)")
-    # independent of leftover rows-only dirs from a previous full run:
-    # if no oracle query was newly checked, a fully typo'd filter must
-    # not exit green on stale state
-    if passes == 0 and not fails:
-        print("FAIL: no oracle query was checked — query-name typo in the Verify filter?")
+    # a fully typo'd filter must not exit green on stale state — but a
+    # subset dump whose queries are all legitimately rows-only (fresh
+    # dirs in this run's dumped.json) DID get checked and must pass
+    if passes == 0 and fresh_skips == 0 and not fails:
+        print("FAIL: no query was freshly checked — query-name typo in the Verify filter?")
         sys.exit(1)
 print(f"\n{passes} pass, {len(fails)} fail, {skips} rows-only")
 for name, msg in fails:
