@@ -587,6 +587,66 @@ object Multimodal {
     out
   }
 
+  /** Stride-extract frames 0, k, 2k, ... from a decoded audio stream
+    * WITHOUT materializing the full PCM: read one frame into the output,
+    * then `skip` the next k-1. On a ByteArrayInputStream-backed stream
+    * `skip` is pointer arithmetic, so this touches ~n/k of the payload
+    * bytes where the readAllBytes formulation copied all n twice (full
+    * PCM + stride copy) — the difference is what made `mm_audio_sample`
+    * run ~1.5x `mm_audio` on this memory-bandwidth-bound box.
+    */
+  private[graft] def stridePcm(ais: javax.sound.sampled.AudioInputStream,
+      frameSize: Int, n: Long, k: Int): Array[Byte] = {
+    val outN = ((n + k - 1) / k).toInt
+    val out = new Array[Byte](outN * frameSize)
+    var f = 0
+    while (f < outN) {
+      var off = f * frameSize
+      var need = frameSize
+      while (need > 0) {
+        val r = ais.read(out, off, need)
+        require(r > 0, s"unexpected EOF reading frame ${f.toLong * k} of $n")
+        off += r; need -= r
+      }
+      if (f < outN - 1) {
+        var toSkip = (k - 1).toLong * frameSize
+        while (toSkip > 0) {
+          val s = ais.skip(toSkip)
+          if (s > 0) toSkip -= s
+          else {
+            // skip made no progress (stream-implementation-dependent);
+            // drain through a scratch buffer instead of spinning
+            val buf = new Array[Byte](math.min(toSkip, 8192L).toInt)
+            val r = ais.read(buf, 0, buf.length)
+            require(r > 0, s"unexpected EOF skipping after frame ${f.toLong * k}")
+            toSkip -= r
+          }
+        }
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Parity twin of [[stridePcm]] — the original full-materialization
+    * formulation, kept for the randomized byte-equality spec. Edit both
+    * together.
+    */
+  private[graft] def stridePcmViaReadAll(
+      ais: javax.sound.sampled.AudioInputStream, frameSize: Int, n: Long,
+      k: Int): Array[Byte] = {
+    val pcm = ais.readAllBytes()
+    val outN = ((n + k - 1) / k).toInt
+    val sampled = new Array[Byte](outN * frameSize)
+    var f = 0
+    while (f < outN) {
+      System.arraycopy(pcm, f * k * frameSize, sampled, f * frameSize,
+        frameSize)
+      f += 1
+    }
+    sampled
+  }
+
   /** Every-k-th-frame sampling over WAV payloads: REAL javax.sound decode,
     * frame stride over the PCM bytes, re-encode at the same rate (the
     * temporal-subsample shape a video frame-sampler takes too). Output
@@ -604,20 +664,12 @@ object Multimodal {
           val fmt = ais.getFormat
           val frameSize = fmt.getFrameSize
           val n = ais.getFrameLength
-          val pcm = ais.readAllBytes()
+          val sampled = stridePcm(ais, frameSize, n, k)
           ais.close()
-          val outN = ((n + k - 1) / k).toInt
-          val sampled = new Array[Byte](outN * frameSize)
-          var f = 0
-          while (f < outN) {
-            System.arraycopy(pcm, f * k * frameSize, sampled, f * frameSize,
-              frameSize)
-            f += 1
-          }
           val outBytes = encodeWavFromPcm(fmt.getSampleRate.toInt,
             fmt.getChannels, sampled)
-          SampledAudioMeta(id, n, outN.toLong, outBytes.length.toLong,
-            fmt.getSampleRate.toInt)
+          SampledAudioMeta(id, n, sampled.length.toLong / frameSize,
+            outBytes.length.toLong, fmt.getSampleRate.toInt)
         }
       }
   }

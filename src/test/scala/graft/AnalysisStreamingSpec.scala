@@ -151,6 +151,31 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: stridePcm skip-read path matches the readAllBytes twin byte-for-byte") {
+    val rnd = new scala.util.Random(20260817L)
+    for (_ <- 0 until 40) {
+      val channels = 1 + rnd.nextInt(2)
+      val rate = 8000 + rnd.nextInt(8) * 1000
+      val n = 1 + rnd.nextInt(5000)
+      val k = 1 + rnd.nextInt(9)
+      val pcm = new Array[Byte](n * channels * 2)
+      rnd.nextBytes(pcm)
+      val wav = Multimodal.encodeWavFromPcm(rate, channels, pcm)
+      def open() = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val a1 = open()
+      val fast = Multimodal.stridePcm(a1, a1.getFormat.getFrameSize,
+        a1.getFrameLength, k)
+      a1.close()
+      val a2 = open()
+      val slow = Multimodal.stridePcmViaReadAll(a2, a2.getFormat.getFrameSize,
+        a2.getFrameLength, k)
+      a2.close()
+      assert(java.util.Arrays.equals(fast, slow),
+        s"stride divergence at n=$n k=$k channels=$channels")
+    }
+  }
+
   test("multimodal: GIF video twin — frame count and dims survive the real codec round trip") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(8)
