@@ -57,6 +57,37 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  // Shared by j3_canon and j3_canon_dist — the two registry entries must
+  // stay the SAME computation (only the driver-graph guard differs), so
+  // both the Spark builder and the recursive-CTE oracle live here once.
+  private def canonQuery(s: SparkSession, dir: String): DataFrame = {
+    val linked = Linker.link(s,
+      taggedMentions(s, dir).filter(col("confidence") >= thr)
+        .select("doc_id", "lang", "mention")
+        .distinct(),
+      Seq("doc_id"))
+    KgPipeline.canonMap(s, linked, Seq("doc_id")).orderBy("entity_id")
+  }
+
+  private def canonSqlDuck: String =
+    s"""WITH RECURSIVE m AS (SELECT DISTINCT doc_id, lang, mention FROM $taggedRel t WHERE confidence >= $thr),
+      |n AS (SELECT doc_id, lang, mention, ${Lemmatizer.normalizeSqlDuck("mention")} AS mention_norm FROM m),
+      |cand AS (SELECT n.doc_id, n.mention, d.entity_id,
+      |  d.prior + CASE WHEN n.lang = d.pref_lang THEN CAST(${Tagger.langBonus} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS score
+      |  FROM n JOIN ${Tagger.aliasSqlDuck} d ON n.mention_norm = d.alias_norm
+      |  WHERE length(n.mention_norm) > 0),
+      |links AS (SELECT doc_id, entity_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention ORDER BY score DESC, entity_id) AS rn FROM cand) w
+      |  WHERE rn = 1),
+      |perdoc AS (SELECT DISTINCT doc_id, entity_id FROM links),
+      |pairs AS (SELECT DISTINCT a.entity_id AS s, b.entity_id AS d FROM perdoc a
+      |  JOIN perdoc b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id),
+      |edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+      |nodes AS (SELECT DISTINCT entity_id AS nd FROM links),
+      |reach(nd, lbl) AS (SELECT nd, nd FROM nodes
+      |  UNION SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.nd)
+      |SELECT nd AS entity_id, min(lbl) AS canon_id FROM reach GROUP BY nd ORDER BY entity_id""".stripMargin
+
   // Bucketed-cache fixture state for j1_bucketed_cache: (appId -> fixture
   // dir) already built this session. Building is expensive relative to the
   // probe join the gate exists to showcase, so repeated executions (bench
@@ -485,76 +516,33 @@ object SparkEntry {
 
     // ---- J3: canonicalization via connected components (north-star) -----
     QuerySpec("j3_canon",
-      (s, dir) => {
-        val linked = Linker.link(s,
-          taggedMentions(s, dir).filter(col("confidence") >= thr)
-            .select("doc_id", "lang", "mention")
-            .distinct(),
-          Seq("doc_id"))
-        KgPipeline.canonMap(s, linked, Seq("doc_id")).orderBy("entity_id")
-      },
-      Some(s"""WITH RECURSIVE m AS (SELECT DISTINCT doc_id, lang, mention FROM $taggedRel t WHERE confidence >= $thr),
-        |n AS (SELECT doc_id, lang, mention, ${Lemmatizer.normalizeSqlDuck("mention")} AS mention_norm FROM m),
-        |cand AS (SELECT n.doc_id, n.mention, d.entity_id,
-        |  d.prior + CASE WHEN n.lang = d.pref_lang THEN CAST(${Tagger.langBonus} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS score
-        |  FROM n JOIN ${Tagger.aliasSqlDuck} d ON n.mention_norm = d.alias_norm
-        |  WHERE length(n.mention_norm) > 0),
-        |links AS (SELECT doc_id, entity_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention ORDER BY score DESC, entity_id) AS rn FROM cand) w
-        |  WHERE rn = 1),
-        |perdoc AS (SELECT DISTINCT doc_id, entity_id FROM links),
-        |pairs AS (SELECT DISTINCT a.entity_id AS s, b.entity_id AS d FROM perdoc a
-        |  JOIN perdoc b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id),
-        |edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
-        |nodes AS (SELECT DISTINCT entity_id AS nd FROM links),
-        |reach(nd, lbl) AS (SELECT nd, nd FROM nodes
-        |  UNION SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.nd)
-        |SELECT nd AS entity_id, min(lbl) AS canon_id FROM reach GROUP BY nd ORDER BY entity_id""".stripMargin)),
+      (s, dir) => canonQuery(s, dir),
+      Some(canonSqlDuck)),
 
-    // ---- J3 (distributed path): the SAME canonicalization with the
-    // driver-graph guard pinned to 1, so runAuto's limit-probe overflows
-    // and the pointer-doubling loop — the path a >2M-edge production graph
-    // actually executes — produces the DuckDB-green row itself. The conf
-    // is set/restored INSIDE the impl; runAuto's probe and the iterative
-    // loop both execute eagerly (limit-collect / per-iteration checkpoint
-    // + convergence count), so the restore in `finally` cannot race the
-    // plan. Oracle: identical recursive-CTE SQL as j3_canon — the two
-    // paths must agree bit-for-bit, now checked cross-engine, not only by
-    // the conf-forced equivalence spec (CacheLinkCcSpec).
+    // ---- J3 (distributed path): the SAME canonicalization (shared
+    // canonQuery/canonSqlDuck — one definition, two registry entries) with
+    // the driver-graph guard pinned to 1, so runAuto's limit-probe
+    // overflows and the pointer-doubling loop — the path a >2M-edge
+    // production graph actually executes — produces the DuckDB-green row
+    // itself. The conf is set/restored INSIDE the impl; runAuto's probe
+    // and the iterative loop both execute eagerly (limit-collect /
+    // per-iteration checkpoint + convergence count), so the restore in
+    // `finally` cannot race the plan. Oracle: identical recursive-CTE SQL
+    // as j3_canon — the two paths must agree bit-for-bit, now checked
+    // cross-engine, not only by the conf-forced equivalence spec
+    // (CacheLinkCcSpec).
     QuerySpec("j3_canon_dist",
       (s, dir) => {
         val key = ConnectedComponents.maxDriverGraphConfKey
         val prev = s.conf.getOption(key)
         s.conf.set(key, "1")
-        try {
-          val linked = Linker.link(s,
-            taggedMentions(s, dir).filter(col("confidence") >= thr)
-              .select("doc_id", "lang", "mention")
-              .distinct(),
-            Seq("doc_id"))
-          KgPipeline.canonMap(s, linked, Seq("doc_id")).orderBy("entity_id")
-        } finally prev match {
+        try canonQuery(s, dir)
+        finally prev match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
         }
       },
-      Some(s"""WITH RECURSIVE m AS (SELECT DISTINCT doc_id, lang, mention FROM $taggedRel t WHERE confidence >= $thr),
-        |n AS (SELECT doc_id, lang, mention, ${Lemmatizer.normalizeSqlDuck("mention")} AS mention_norm FROM m),
-        |cand AS (SELECT n.doc_id, n.mention, d.entity_id,
-        |  d.prior + CASE WHEN n.lang = d.pref_lang THEN CAST(${Tagger.langBonus} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS score
-        |  FROM n JOIN ${Tagger.aliasSqlDuck} d ON n.mention_norm = d.alias_norm
-        |  WHERE length(n.mention_norm) > 0),
-        |links AS (SELECT doc_id, entity_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention ORDER BY score DESC, entity_id) AS rn FROM cand) w
-        |  WHERE rn = 1),
-        |perdoc AS (SELECT DISTINCT doc_id, entity_id FROM links),
-        |pairs AS (SELECT DISTINCT a.entity_id AS s, b.entity_id AS d FROM perdoc a
-        |  JOIN perdoc b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id),
-        |edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
-        |nodes AS (SELECT DISTINCT entity_id AS nd FROM links),
-        |reach(nd, lbl) AS (SELECT nd, nd FROM nodes
-        |  UNION SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.nd)
-        |SELECT nd AS entity_id, min(lbl) AS canon_id FROM reach GROUP BY nd ORDER BY entity_id""".stripMargin)),
+      Some(canonSqlDuck)),
 
     // ---- O2: retention top-K by recency (ner-clean-cache.sh:9) ----------
     QuerySpec("o2_retention",

@@ -20,23 +20,29 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val written = selected.keys.toSeq.sorted.filter { name =>
+      val fn = selected(name)
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        true
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        false
       }
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonUtil.str(k)}: ${JsonUtil.str(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // manifest of THIS run's dump set: check_oracle.py's --only-existing
-    // guard uses it to tell freshly-dumped dirs from stale leftovers of a
-    // previous full run (a subset dump of only rows-only queries must pass;
-    // a typo'd filter over stale state must still fail)
+    // manifest of THIS run's SUCCESSFUL dumps: check_oracle.py's
+    // --only-existing guard uses it to tell freshly-dumped dirs from stale
+    // leftovers of a previous full run (a subset dump of only rows-only
+    // queries must pass; a typo'd filter over stale state must still fail).
+    // Queries that threw are excluded — a stale dir left behind by a failed
+    // dump must not read as freshly checked.
     Files.writeString(Paths.get(s"$outDir/dumped.json"),
-      selected.keys.toSeq.sorted.map(JsonUtil.str).mkString("[", ",", "]"))
+      written.map(JsonUtil.str).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -18,7 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * starting at 0.0) and as the DuckDB twin (`list_reduce(list_transform...)`)
   * — pinned by a randomized spec asserting `==` on the raw doubles vs the
   * HOF chain. Defined for equal-length arrays of non-null elements (the
-  * embedding tables' shape); length mismatch folds over the shorter prefix.
+  * embedding tables' shape); length mismatch folds over the shorter prefix
+  * HERE ONLY — the HOF twin null-pads via `zip_with` and the DuckDB twin
+  * indexes out of range, so the bit-parity contract covers equal lengths.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -25,9 +25,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Prefix-fold contract (same as [[DotProduct]]): each score folds over
   * `min(embedding length, centroid length)` elements — an embedding whose
   * dimension disagrees with the centroids' yields the prefix-truncated
-  * score, not an error. The HOF twin and the DuckDB replay share the
-  * contract (zip_with truncates identically), so parity holds either way;
-  * callers who need malformed-dimension inputs to fail should validate
+  * score, not an error. NOTE the twins do NOT share this contract:
+  * Spark's `zip_with` pads the shorter array with nulls (null-poisoning
+  * the HOF score to NULL) and the DuckDB replay indexes a fixed `1..d`
+  * range (out-of-range `e[i]` is NULL there too), so bit-parity is
+  * guaranteed ONLY for embeddings of exactly the centroid dimension —
+  * which every shipped query satisfies (the synthesized embedding column
+  * is fixed-width). Callers feeding mixed-dimension data must validate
   * `size(embedding)` upstream, as `Similarity.trainCentroids`' docs note.
   */
 case class NearestCentroid(child: Expression, cents: Array[Array[Double]])

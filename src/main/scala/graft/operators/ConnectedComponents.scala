@@ -194,19 +194,13 @@ object ConnectedComponents {
   }
 
   /** UTF-8 byte-wise "less than" — Spark UTF8String / DuckDB memcmp order.
-    * Equivalent to code-point order; ASCII-only ids are unaffected. The
-    * per-comparison encode is fine at the guarded ≤2M-edge driver scale.
+    * Delegates to Spark's own `UTF8String` comparison, so this IS the
+    * distributed path's ordering by definition rather than a hand-rolled
+    * re-derivation of it. Equivalent to code-point order; ASCII-only ids
+    * are unaffected. The per-comparison encode is fine at the guarded
+    * ≤2M-edge driver scale.
     */
-  private[graft] def utf8Lt(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+  private[graft] def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
 }

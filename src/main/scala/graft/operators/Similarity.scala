@@ -241,13 +241,14 @@ object Similarity {
     * matrix ever reaches the driver. Empty cells keep their previous
     * centroid.
     *
-    * Dimension contract: embeddings are assumed to share the centroid
-    * dimension (the seeded init fixes d from [[Similarity.dims]]). A
-    * shorter/longer embedding is NOT an error — every scoring path
-    * (NearestCentroid kernel, HOF twin, DuckDB replay) folds over the
-    * common prefix, so a malformed row gets a prefix-truncated assignment
-    * rather than a failure; validate `size(embedding)` upstream if mixed
-    * dimensions should fail loudly.
+    * Dimension contract: embeddings MUST share the centroid dimension
+    * (the seeded init fixes d from [[Similarity.dims]]). A mismatched row
+    * is not an error, but the scoring paths DISAGREE on it — the native
+    * kernel folds the common prefix while the HOF twin (`zip_with`
+    * null-pads the shorter array) and the DuckDB replay (fixed `1..d`
+    * indexing) both yield NULL scores — so mixed-dimension input silently
+    * voids the bit-parity contract rather than failing loudly; validate
+    * `size(embedding)` upstream if it can occur.
     */
   def trainCentroids(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
       seed: Long = 7L, d: Int = dim): Array[Array[Double]] = {

@@ -118,10 +118,18 @@ object EventStream {
     * row). A key re-arriving after eviction restarts its totals from zero,
     * exactly as an expired cache entry is recomputed. State size is bounded
     * by (active keys within the horizon), not the stream's lifetime.
+    *
+    * Lateness divergence from [[runningPerUser]]: EventTimeTimeout requires
+    * a watermark, and flatMapGroupsWithState DROPS input rows older than it
+    * before they reach the function — so an out-of-order event arriving
+    * more than `watermarkDelay` of event time behind the stream's maximum
+    * is silently excluded from the totals, where [[runningPerUser]] (no
+    * watermark) counts everything. Size `watermarkDelay` to the source's
+    * real disorder; within-delay late events are counted (spec-pinned).
     */
   def runningPerUserWithHorizon(spark: SparkSession, events: DataFrame,
       horizon: String = "1 hour",
-      watermarkDelay: String = "0 seconds"): Dataset[UserRunning] = {
+      watermarkDelay: String = "10 minutes"): Dataset[UserRunning] = {
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("value").cast("double"),
         col("ts").cast("timestamp"))

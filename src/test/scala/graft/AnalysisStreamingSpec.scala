@@ -376,4 +376,33 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     // user 2: uninterrupted progression 1, 2, 3
     assert(rows.filter(_._1 == 2L).map(_._2).sorted == Seq(1L, 2L, 3L))
   }
+
+  test("streaming: horizon running totals — cross-batch late event within the watermark delay is counted") {
+    // the lateness contract of runningPerUserWithHorizon: events later than
+    // the stream max but WITHIN watermarkDelay still reach the function
+    // (events older than the watermark would be dropped — that divergence
+    // from runningPerUser is documented on the method)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double, String)]
+    val q = EventStream.runningPerUserWithHorizon(spark,
+        ms.toDF().toDF("user_id", "value", "ts"),
+        horizon = "1 hour", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("running_horizon_late")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 at 10:05 -> watermark after this batch = 09:55
+      ms.addData((1L, 5.0, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // batch 2: user 2 arrives OUT OF ORDER at 10:03 — behind the stream
+      // max but ahead of the 09:55 watermark, so it must be counted
+      ms.addData((2L, 9.0, "2024-01-01 10:03:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("running_horizon_late")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.contains((2L, 1L, 9.0)),
+      s"within-delay late event must reach the totals, got $rows")
+  }
 }

@@ -38,6 +38,17 @@ for name in sorted(oracle):
             continue
         fails.append((name, "no spark output"))
         continue
+    # a dir not in this run's manifest is a stale leftover: in subset mode
+    # it simply wasn't selected (skip it — comparing it would let stale
+    # passes defeat the typo'd-filter guard); in full-gate mode every
+    # oracle query must have dumped, so a stale dir means the dump THREW
+    # this run and the old output must not read as a pass
+    if dumped is not None and name not in dumped:
+        if "--only-existing" in sys.argv:
+            missing += 1
+            continue
+        fails.append((name, "dump failed this run (stale dir from a previous run)"))
+        continue
     try:
         spark_rows = con.execute(
             f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
