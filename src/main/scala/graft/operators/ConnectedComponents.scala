@@ -58,13 +58,23 @@ object ConnectedComponents {
     while (iter < maxIter && !converged) {
       // hop: candidate = min(own component, min over neighbors' components),
       // computed skew-aware: pre-aggregate per (dst, salt) bucket first.
-      val withNbr = sym
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .withColumn("salt", pmod(hash(col("src")), lit(salts)))
-        .groupBy(col("dst"), col("salt"))
-        .agg(min(col("component")).as("cand"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("cand")).as("nbr_min"))
+      // `salts <= 1` skips the salt stage entirely — `min` is algebraic, so
+      // HashAggregate's map-side partial already caps a hot vertex's reduce
+      // fan-in at one row per map partition (the same bound explicit
+      // salting buys) while shuffling one exchange less per iteration;
+      // the salted formulation is kept for aggregates/engines without
+      // partial pushdown and as the measured A/B (BENCH.md §28).
+      val joined = sym.join(labels.withColumnRenamed("id", "src"), "src")
+      val withNbr =
+        if (salts > 1) joined
+          .withColumn("salt", pmod(hash(col("src")), lit(salts)))
+          .groupBy(col("dst"), col("salt"))
+          .agg(min(col("component")).as("cand"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("cand")).as("nbr_min"))
+        else joined
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("component")).as("nbr_min"))
 
       // `old` rides along so the convergence check below needs no extra
       // join (a per-iteration shuffle of both label sets otherwise).

@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConnectedComponents
+
+/** Scale evidence for the DISTRIBUTED pointer-doubling CC loop (dev
+  * tool). Every driver-gated CC query (`j3_canon`, `dedup_clusters`,
+  * `kg_triples`) runs on dictionary-bounded graphs that take `runAuto`'s
+  * driver fast path at fixture scale, and `j3_canon_dist` pins the guard
+  * to exercise the distributed loop on the SAME small graph — so the one
+  * thing no gate measures is the loop on a graph genuinely ABOVE the 2M
+  * default guard, the regime a 100 TB corpus' co-occurrence graph
+  * actually lives in. This main synthesizes one deterministically
+  * (distributively — the graph never touches the driver during
+  * generation), lets `runAuto` overflow its probe and fall back to the
+  * pointer-doubling loop, checks the full component map against the
+  * construction's ground truth, and times the driver union-find on the
+  * same edges for comparison.
+  *
+  * Graph shape: `numGroups` disjoint components of `groupSize` vertices,
+  * each a CHAIN (worst case for one-hop propagation, the shape pointer
+  * doubling exists for: O(log groupSize) rounds instead of O(groupSize))
+  * plus an every-16th-vertex hash shortcut edge kept WITHIN the group, so
+  * the ground-truth component of vertex v is exactly
+  * `floor(v / groupSize) * groupSize` — verified distributively for every
+  * vertex, not sampled. Ids are zero-padded to 10 chars (the
+  * `dedup_clusters` convention) so numeric and lexicographic order agree.
+  *
+  * Usage: `sbt -batch "runMain graft.tools.CcScale [edgesTarget] [groupSize]"`
+  * (defaults 6,000,000 and 2048); `SPARK_GRAFT_CPUS` sets parallelism.
+  */
+object CcScale {
+  def main(args: Array[String]): Unit = {
+    val edgesTarget = args.headOption.map(_.toLong).getOrElse(6_000_000L)
+    val groupSize = args.drop(1).headOption.map(_.toLong).getOrElse(2048L)
+    require(groupSize > 1, "groupSize must be >= 2")
+    // chain contributes (groupSize-1) and shortcuts groupSize/16 edges per
+    // group; solve for the group count that lands near the target
+    val perGroup = (groupSize - 1) + groupSize / 16
+    val numGroups = math.max(1L, edgesTarget / perGroup)
+    val v = numGroups * groupSize
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def fmt(c: Column): Column = format_string("%010d", c)
+    val base = spark.range(v).toDF("i")
+    val chain = base.filter(col("i") % groupSize =!= (groupSize - 1))
+      .select(col("i").as("a"), (col("i") + 1).as("b"))
+    // shortcut stays within the group: hash-derived offset mod groupSize
+    val shortcuts = base.filter(col("i") % 16 === 0)
+      .select(col("i").as("a"),
+        (floor(col("i") / groupSize) * groupSize +
+          pmod(hash(col("i")), lit(groupSize))).as("b"))
+    val edges = chain.unionAll(shortcuts)
+      .select(fmt(col("a")).as("src"), fmt(col("b")).as("dst"))
+    val nEdges = edges.count()
+    println(s"[ccscale] cpus=$cpus edges=$nEdges vertices=$v " +
+      s"groups=$numGroups chain=$groupSize")
+
+    // distributed path via the public entry: the probe overflows the 2M
+    // guard and run()'s pointer-doubling loop executes (assert it did).
+    // SPARK_GRAFT_CC_SALTS overrides the loop's salt factor for the
+    // salted-vs-partial-agg A/B (<=1 skips the salt pre-aggregation).
+    require(nEdges > 2_000_000L,
+      s"edge count $nEdges under the default guard — the run would take " +
+        "the driver path and measure nothing; raise edgesTarget")
+    val saltsOverride = sys.env.get("SPARK_GRAFT_CC_SALTS").map(_.toInt)
+    val t0 = System.nanoTime()
+    val comp = saltsOverride match {
+      case Some(sl) =>
+        println(s"[ccscale] salts=$sl (direct run(), bypassing runAuto)")
+        ConnectedComponents.run(spark, edges, salts = sl)
+      case None => ConnectedComponents.runAuto(spark, edges)
+    }
+    val expected = col("id").cast("long")
+    val mismatches = comp.filter(
+      col("component") =!= fmt(floor(expected / groupSize) * groupSize))
+      .count()
+    val tDist = (System.nanoTime() - t0) / 1e9
+    val nComp = comp.select(countDistinct("component")).head().getLong(0)
+    println(f"[ccscale] distributed: ${tDist}%.2f s, components=$nComp " +
+      f"(expected $numGroups), mismatched vertices=$mismatches (expected 0)")
+    require(mismatches == 0 && nComp == numGroups,
+      "distributed CC diverged from constructed ground truth")
+
+    if (saltsOverride.isDefined) { spark.stop(); return }
+
+    // driver union-find on the same edges, timed from collect through map
+    // build — what the guard WOULD do if sized up; memory contract per
+    // runAuto's scaladoc (~rows x id-width x 4: ~0.5 GB at 6M short ids)
+    val t1 = System.nanoTime()
+    val pairs = edges.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val scalarMap = ConnectedComponents.runScalar(pairs)
+    val tDrv = (System.nanoTime() - t1) / 1e9
+    val badScalar = scalarMap.iterator.count { case (id, c) =>
+      c != f"${id.toLong / groupSize * groupSize}%010d"
+    }
+    println(f"[ccscale] driver union-find: ${tDrv}%.2f s " +
+      f"(collect+build), mismatches=$badScalar (expected 0)")
+    require(badScalar == 0, "driver union-find diverged from ground truth")
+    spark.stop()
+  }
+}
