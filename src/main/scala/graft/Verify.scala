@@ -18,6 +18,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Clear the previous run's manifest BEFORE dumping: if this run dies
+    // mid-loop (OOM, Ctrl-C) the per-query bookkeeping never executes, and
+    // a surviving stale manifest would validate output dirs this run never
+    // produced — the exact hole the manifest exists to close.
+    Files.deleteIfExists(Paths.get(s"$outDir/dumped.json"))
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
     val written = selected.keys.toSeq.sorted.filter { name =>

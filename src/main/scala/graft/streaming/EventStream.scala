@@ -111,8 +111,10 @@ object EventStream {
     * horizon; same 3M-entry retention reasoning as the reference's weekly
     * cache clean, `ner-clean-cache.sh:9`). A key idle past `horizon` in
     * EVENT time has its state evicted via `EventTimeTimeout`: the timeout
-    * timestamp is re-armed to (batch-max event time + horizon) on every
-    * batch that carries the key, and once the stream's watermark passes it,
+    * timestamp is re-armed to (the key's max event time ever seen +
+    * horizon) on every batch that carries the key — the max is kept in
+    * state so a batch carrying only a within-delay LATE event cannot pull
+    * the deadline backwards — and once the stream's watermark passes it,
     * the timed-out invocation removes the state and emits nothing
     * (flatMapGroupsWithState — a timeout is an eviction, not an output
     * row). A key re-arriving after eviction restarts its totals from zero,
@@ -139,20 +141,22 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Update(),
           GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
-            state: GroupState[(Long, Double)]) =>
+            state: GroupState[(Long, Double, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
-            var n = n0; var v = v0; var maxTs = Long.MinValue
+            val (n0, v0, t0) = state.getOption.getOrElse((0L, 0.0, Long.MinValue))
+            var n = n0; var v = v0; var maxTs = t0
             rows.foreach { r =>
               n += 1; v += r._2
               if (r._3.getTime > maxTs) maxTs = r._3.getTime
             }
-            state.update((n, v))
-            // re-arm relative to the key's own newest event: the state
-            // lives exactly `horizon` of event time past its last activity
+            state.update((n, v, maxTs))
+            // re-arm relative to the key's newest event EVER SEEN (kept in
+            // state): a batch carrying only a within-delay late event must
+            // not pull the deadline earlier than `horizon` past the key's
+            // true last activity
             state.setTimeoutTimestamp(maxTs, horizon)
             Iterator.single(UserRunning(uid, n, v))
           }

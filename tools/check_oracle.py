@@ -87,7 +87,10 @@ for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
     status = "ROWS" if n > 0 else "EMPTY!"
     print(f"{status} {name} ({n} rows)")
     skips += 1
-    if dumped is None or name in dumped:
+    # no manifest at all (pre-manifest dump, or a run that crashed before
+    # writing one) means NOTHING is provably fresh — leftover rows-only dirs
+    # must not disarm the typo'd-filter guard below
+    if dumped is not None and name in dumped:
         fresh_skips += 1
 
 if missing:
