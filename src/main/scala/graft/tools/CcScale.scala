@@ -19,26 +19,45 @@ import graft.operators.ConnectedComponents
   * construction's ground truth, and times the driver union-find on the
   * same edges for comparison.
   *
-  * Graph shape: `numGroups` disjoint components of `groupSize` vertices,
-  * each a CHAIN (worst case for one-hop propagation, the shape pointer
-  * doubling exists for: O(log groupSize) rounds instead of O(groupSize))
-  * plus an every-16th-vertex hash shortcut edge kept WITHIN the group, so
-  * the ground-truth component of vertex v is exactly
-  * `floor(v / groupSize) * groupSize` — verified distributively for every
-  * vertex, not sampled. Ids are zero-padded to 10 chars (the
-  * `dedup_clusters` convention) so numeric and lexicographic order agree.
+  * Graph shapes (`numGroups` disjoint components of `groupSize` vertices
+  * either way; the ground-truth component of vertex v is exactly
+  * `floor(v / groupSize) * groupSize` in both — verified distributively
+  * for every vertex, not sampled):
+  *  - `chain` (default): in-group chains plus an every-16th-vertex hash
+  *    shortcut. Worst case for one-hop propagation — the shape pointer
+  *    doubling exists for (O(log groupSize) rounds instead of
+  *    O(groupSize)) — but every vertex has O(1) degree, so it exercises
+  *    NO skew.
+  *  - `star`: every spoke points at its group's minimum vertex (the hub),
+  *    degree(hub) = groupSize - 1. With a large groupSize this is the
+  *    celebrity-vertex regime the salt stage exists for: after
+  *    symmetrization the hub contributes groupSize rows to the join on
+  *    `src` AND groupSize rows into the min-neighbor aggregation on
+  *    `dst`. Diameter 2, so rounds don't dominate — per-round skew does.
+  *    Pair with `SPARK_GRAFT_CC_SALTS={8,1}` for the protection A/B that
+  *    the chain fixture structurally cannot measure (BENCH.md §28).
   *
-  * Usage: `sbt -batch "runMain graft.tools.CcScale [edgesTarget] [groupSize]"`
-  * (defaults 6,000,000 and 2048); `SPARK_GRAFT_CPUS` sets parallelism.
+  * Ids are zero-padded to 10 chars (the `dedup_clusters` convention) so
+  * numeric and lexicographic order agree.
+  *
+  * Usage:
+  * `sbt -batch "runMain graft.tools.CcScale [edgesTarget] [groupSize] [shape]"`
+  * (defaults 6,000,000 / 2048 / chain); `SPARK_GRAFT_CPUS` sets
+  * parallelism.
   */
 object CcScale {
   def main(args: Array[String]): Unit = {
     val edgesTarget = args.headOption.map(_.toLong).getOrElse(6_000_000L)
     val groupSize = args.drop(1).headOption.map(_.toLong).getOrElse(2048L)
+    val shape = args.drop(2).headOption.getOrElse("chain")
     require(groupSize > 1, "groupSize must be >= 2")
-    // chain contributes (groupSize-1) and shortcuts groupSize/16 edges per
-    // group; solve for the group count that lands near the target
-    val perGroup = (groupSize - 1) + groupSize / 16
+    require(shape == "chain" || shape == "star", s"unknown shape '$shape'")
+    // chain contributes (groupSize-1) chain + groupSize/16 shortcut edges
+    // per group, a star (groupSize-1) spokes; solve for the group count
+    // that lands near the target
+    val perGroup =
+      if (shape == "star") groupSize - 1
+      else (groupSize - 1) + groupSize / 16
     val numGroups = math.max(1L, edgesTarget / perGroup)
     val v = numGroups * groupSize
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -54,18 +73,27 @@ object CcScale {
 
     def fmt(c: Column): Column = format_string("%010d", c)
     val base = spark.range(v).toDF("i")
-    val chain = base.filter(col("i") % groupSize =!= (groupSize - 1))
-      .select(col("i").as("a"), (col("i") + 1).as("b"))
-    // shortcut stays within the group: hash-derived offset mod groupSize
-    val shortcuts = base.filter(col("i") % 16 === 0)
-      .select(col("i").as("a"),
-        (floor(col("i") / groupSize) * groupSize +
-          pmod(hash(col("i")), lit(groupSize))).as("b"))
-    val edges = chain.unionAll(shortcuts)
-      .select(fmt(col("a")).as("src"), fmt(col("b")).as("dst"))
+    val raw =
+      if (shape == "star") {
+        // spoke -> hub (= group minimum); the single high-degree vertex
+        // per group is the point of the fixture
+        base.filter(col("i") % groupSize =!= 0)
+          .select(col("i").as("a"),
+            (floor(col("i") / groupSize) * groupSize).as("b"))
+      } else {
+        val chain = base.filter(col("i") % groupSize =!= (groupSize - 1))
+          .select(col("i").as("a"), (col("i") + 1).as("b"))
+        // shortcut stays within the group: hash-derived offset mod groupSize
+        val shortcuts = base.filter(col("i") % 16 === 0)
+          .select(col("i").as("a"),
+            (floor(col("i") / groupSize) * groupSize +
+              pmod(hash(col("i")), lit(groupSize))).as("b"))
+        chain.unionAll(shortcuts)
+      }
+    val edges = raw.select(fmt(col("a")).as("src"), fmt(col("b")).as("dst"))
     val nEdges = edges.count()
-    println(s"[ccscale] cpus=$cpus edges=$nEdges vertices=$v " +
-      s"groups=$numGroups chain=$groupSize")
+    println(s"[ccscale] cpus=$cpus shape=$shape edges=$nEdges vertices=$v " +
+      s"groups=$numGroups groupSize=$groupSize")
 
     // distributed path via the public entry: the probe overflows the 2M
     // guard and run()'s pointer-doubling loop executes (assert it did).
