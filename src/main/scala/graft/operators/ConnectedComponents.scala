@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointBridge
 
 /** J3 — canonicalization via connected components over the entity
   * co-occurrence / alias-ambiguity graph (north-star KG extension). No
@@ -15,8 +16,13 @@ import org.apache.spark.sql.functions._
   * chain converges in ≤ 13 rounds (pinned by test); a plain one-hop loop
   * would need 4096.
   *
-  *  - `localCheckpoint` per iteration truncates lineage (an unbounded
-  *    iterative self-join otherwise re-executes the whole prefix);
+  *  - a metadata-keeping local checkpoint per iteration
+  *    ([[org.apache.spark.sql.graft.CheckpointBridge]]) truncates lineage
+  *    (an unbounded iterative self-join otherwise re-executes the whole
+  *    prefix) while PRESERVING the labels' hash layout, and the loop runs
+  *    AQE-off with a pinned partition count so the edge relation shuffles
+  *    and sorts once for the whole loop instead of once per round; each
+  *    round releases the superseded round's checkpoint blocks;
   *  - salting of hot vertices before the neighbor aggregation — skew
   *    mitigation the north rule mandates for hot entities: the
   *    min-neighbor-label aggregate is computed per (vertex, salt) first,
@@ -35,80 +41,149 @@ object ConnectedComponents {
 
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30,
       salts: Int = 8, vertices: Option[DataFrame] = None): DataFrame = {
-    // Pre-partition the (checkpointed) edge set by src ONCE: every
-    // iteration joins on src, and the distinct's (src, dst) partitioning
-    // would otherwise make the join re-shuffle the whole edge relation —
-    // the largest per-iteration shuffle at corpus scale — every round.
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .localCheckpoint(true)
-
-    val fromEdges = sym.select(col("src").as("id"))
-    val allVerts = vertices
-      .map(v => v.select(col(v.columns.head).as("id")).unionByName(fromEdges))
-      .getOrElse(fromEdges)
-      .distinct()
-    var labels = allVerts.withColumn("component", col("id"))
-      .localCheckpoint(true)
-
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      // hop: candidate = min(own component, min over neighbors' components),
-      // computed skew-aware: pre-aggregate per (dst, salt) bucket first.
-      // `salts <= 1` skips the salt stage entirely — `min` is algebraic, so
-      // HashAggregate's map-side partial already caps a hot vertex's reduce
-      // fan-in at one row per map partition (the same bound explicit
-      // salting buys) while shuffling one exchange less per iteration;
-      // the salted formulation is kept for aggregates/engines without
-      // partial pushdown and as the measured A/B (BENCH.md §28).
-      val joined = sym.join(labels.withColumnRenamed("id", "src"), "src")
-      val withNbr =
-        if (salts > 1) joined
-          .withColumn("salt", pmod(hash(col("src")), lit(salts)))
-          .groupBy(col("dst"), col("salt"))
-          .agg(min(col("component")).as("cand"))
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("cand")).as("nbr_min"))
-        else joined
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("component")).as("nbr_min"))
-
-      // `old` rides along so the convergence check below needs no extra
-      // join (a per-iteration shuffle of both label sets otherwise).
-      val hopped = labels.join(withNbr, Seq("id"), "left")
-        .select(col("id"), col("component").as("old"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-
-      // pointer doubling: component <- component(component). Every label
-      // value is itself a vertex id, so the self-join always resolves;
-      // `left` + coalesce guards the (impossible) miss anyway.
-      val parents = hopped
-        .select(col("id").as("component"), col("component").as("gp"))
-      // LAZY checkpoint: the convergence count right below materializes it,
-      // so each iteration runs ONE job (an eager checkpoint would run two —
-      // measured as the dominant cost of toy-scale canonicalization).
-      val next = hopped.join(parents, Seq("component"), "left")
-        .select(col("id"), col("old"),
-          least(col("component"), coalesce(col("gp"), col("component")))
-            .as("component"))
-        .localCheckpoint(false)
-
-      val changed = next.filter(col("component") =!= col("old"))
-        .limit(1).count()
-      converged = changed == 0L
-      labels = next.drop("old")
-      iter += 1
+    // The whole loop runs with AQE OFF and a pinned shuffle-partition
+    // count: `Dataset.localCheckpoint` loses partitioning metadata
+    // (stale attributes without AQE, UnknownPartitioning with it — see
+    // CheckpointBridge), so before this restructure EVERY round
+    // re-shuffled the full edge relation into the hop join despite the
+    // edges being "pre-partitioned by src". With the bridge's
+    // metadata-keeping checkpoint + a fixed partition count, the edge
+    // set shuffles and sorts ONCE and every round's hop and label joins
+    // reuse its layout; only the aggregations, the pointer-doubling
+    // re-key, and the next-label repartition exchange per round. AQE's
+    // in-loop services are not missed: skew is handled by the explicit
+    // salt stage / map-side min partials, and coalescing is subsumed by
+    // sizing `parts` from the measured edge count (250k rows/partition,
+    // capped by the session's shuffle.partitions — the operator's
+    // cluster-scale knob). Conf set/restore is safe because every step
+    // in here executes eagerly (checkpoints + convergence counts);
+    // callers' lazy plans observe the restored confs.
+    val conf = spark.conf
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val aqePrev = conf.getOption(aqeKey)
+    val spPrev = conf.getOption(spKey)
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"ConnectedComponents did not converge within $maxIter iterations " +
-          "(pointer-doubling bounds rounds by log2(diameter); raise maxIter " +
-          "only if the graph legitimately has diameter > 2^maxIter)")
-    labels
+    try {
+      val sym0raw = edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      // Stage once at the session's partitioning to measure the edge
+      // count without recomputing the caller's upstream lineage, then
+      // restage partitioned-by-src at the pinned count for the loop.
+      // This first pass still runs under the CALLER's confs — the
+      // upstream lineage (e.g. canonMap's set-building aggregation) is
+      // the expensive part of small-graph invocations and keeps AQE's
+      // coalescing; its checkpoint's partitioning metadata is discarded
+      // by the restage, so losing it to AQE costs nothing.
+      val (sym0, sym0Rdd) =
+        CheckpointBridge.localCheckpointKeepPartitioning(sym0raw, eager = true)
+      val eCount = sym0.count()
+      conf.set(aqeKey, "false")
+      val parts = math.min(
+        spPrev.map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism),
+        math.max(1L, (eCount + 249_999) / 250_000)).toInt
+      conf.set(spKey, parts.toString)
+      val (sym, symRdd) = CheckpointBridge.localCheckpointKeepPartitioning(
+        sym0.repartition(parts, col("src")).sortWithinPartitions("src"),
+        eager = true)
+      sym0Rdd.unpersist(false)
+
+      val fromEdges = sym.select(col("src").as("id"))
+      val allVerts = vertices
+        .map(v => v.select(col(v.columns.head).as("id")).unionByName(fromEdges))
+        .getOrElse(fromEdges)
+        .distinct()
+        .sortWithinPartitions("id")
+      var (labels, labelsRdd) = CheckpointBridge.localCheckpointKeepPartitioning(
+        allVerts.withColumn("component", col("id")), eager = true)
+
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        // hop: candidate = min(own component, min over neighbors'
+        // components), computed skew-aware: pre-aggregate per (dst, salt)
+        // bucket first. `salts <= 1` skips the salt stage entirely — `min`
+        // is algebraic, so HashAggregate's map-side partial already caps a
+        // hot vertex's reduce fan-in at one row per map partition (the same
+        // bound explicit salting buys) while shuffling one exchange less
+        // per iteration; the salted formulation is kept for aggregates/
+        // engines without partial pushdown and as the measured A/B
+        // (BENCH.md §28). sym and labels are co-partitioned (and co-sorted)
+        // on the join key, so this join moves no rows.
+        val joined = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        val withNbr =
+          if (salts > 1) joined
+            .withColumn("salt", pmod(hash(col("src")), lit(salts)))
+            .groupBy(col("dst"), col("salt"))
+            .agg(min(col("component")).as("cand"))
+            .groupBy(col("dst").as("id"))
+            .agg(min(col("cand")).as("nbr_min"))
+          else joined
+            .groupBy(col("dst").as("id"))
+            .agg(min(col("component")).as("nbr_min"))
+
+        // `old` rides along so the convergence check below needs no extra
+        // join; labels side is exchange- and sort-free (checkpoint layout),
+        // withNbr arrives hash(id)-partitioned from its own aggregation.
+        // Checkpointed (lazily) because BOTH sides of the doubling join
+        // below read it: without a materialization the whole hop subtree
+        // is planned twice and — with AQE's stage reuse off in here —
+        // would COMPUTE twice per round. The exchange map-stage computes
+        // and caches the blocks; the join's result stage reads the cache.
+        val (hopped, hoppedRdd) = CheckpointBridge.localCheckpointKeepPartitioning(
+          labels.join(withNbr, Seq("id"), "left")
+            .select(col("id"), col("component").as("old"),
+              least(col("component"), coalesce(col("nbr_min"), col("component")))
+                .as("component")),
+          eager = false)
+
+        // pointer doubling: component <- component(component). Every label
+        // value is itself a vertex id, so the self-join always resolves;
+        // `left` + coalesce guards the (impossible) miss anyway. parents is
+        // hopped re-keyed by id (aliased "component") with its sort order
+        // intact, so only the probe side re-shuffles (and re-sorts) here.
+        val parents = hopped
+          .select(col("id").as("component"), col("component").as("gp"))
+        // LAZY checkpoint: the convergence count right below materializes
+        // it, so each iteration runs ONE job (an eager checkpoint would run
+        // two — measured as the dominant cost of toy-scale
+        // canonicalization). The repartition+sort restores next round's
+        // reusable layout; the count's LocalLimit schedules every
+        // partition, so the checkpoint is FULLY materialized before the
+        // superseded round's blocks are released below.
+        val (next, nextRdd) = CheckpointBridge.localCheckpointKeepPartitioning(
+          hopped.join(parents, Seq("component"), "left")
+            .select(col("id"), col("old"),
+              least(col("component"), coalesce(col("gp"), col("component")))
+                .as("component"))
+            .repartition(parts, col("id"))
+            .sortWithinPartitions("id"),
+          eager = false)
+
+        val changed = next.filter(col("component") =!= col("old"))
+          .limit(1).count()
+        converged = changed == 0L
+        hoppedRdd.unpersist(false)
+        labelsRdd.unpersist(false)
+        labels = next.drop("old")
+        labelsRdd = nextRdd
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"ConnectedComponents did not converge within $maxIter iterations " +
+            "(pointer-doubling bounds rounds by log2(diameter); raise maxIter " +
+            "only if the graph legitimately has diameter > 2^maxIter)")
+      symRdd.unpersist(false)
+      labels
+    } finally {
+      restore(aqeKey, aqePrev)
+      restore(spKey, spPrev)
+    }
   }
 
   /** [[run]] with a guarded driver fast path. Real co-occurrence /
