@@ -39,67 +39,85 @@ import org.apache.spark.sql.graft.CheckpointBridge
   */
 object ConnectedComponents {
 
+  /** Re-plan a DataFrame's analyzed logical plan under another session —
+    * how the loop below gets its own conf scope without mutating the
+    * caller's session (both sessions share the SparkContext, so RDDs and
+    * checkpoint blocks are common property).
+    */
+  private def rebind(s: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnBridge.dataFrame(
+      s, org.apache.spark.sql.graft.ColumnBridge.logicalPlan(df))
+
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30,
       salts: Int = 8, vertices: Option[DataFrame] = None): DataFrame = {
-    // The whole loop runs with AQE OFF and a pinned shuffle-partition
-    // count: `Dataset.localCheckpoint` loses partitioning metadata
-    // (stale attributes without AQE, UnknownPartitioning with it — see
-    // CheckpointBridge), so before this restructure EVERY round
-    // re-shuffled the full edge relation into the hop join despite the
-    // edges being "pre-partitioned by src". With the bridge's
-    // metadata-keeping checkpoint + a fixed partition count, the edge
-    // set shuffles and sorts ONCE and every round's hop and label joins
-    // reuse its layout; only the aggregations, the pointer-doubling
-    // re-key, and the next-label repartition exchange per round. AQE's
-    // in-loop services are not missed: skew is handled by the explicit
-    // salt stage / map-side min partials, and coalescing is subsumed by
-    // sizing `parts` from the measured edge count (250k rows/partition,
-    // capped by the session's shuffle.partitions — the operator's
-    // cluster-scale knob). Conf set/restore is safe because every step
-    // in here executes eagerly (checkpoints + convergence counts);
-    // callers' lazy plans observe the restored confs.
-    val conf = spark.conf
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val spKey = "spark.sql.shuffle.partitions"
-    val aqePrev = conf.getOption(aqeKey)
-    val spPrev = conf.getOption(spKey)
-    def restore(key: String, prev: Option[String]): Unit = prev match {
-      case Some(v) => conf.set(key, v)
-      case None => conf.unset(key)
+    // The loop runs on a CLONED session (spark.newSession()) with AQE
+    // OFF and a pinned shuffle-partition count: `Dataset.localCheckpoint`
+    // loses partitioning metadata (stale attributes without AQE,
+    // UnknownPartitioning with it — see CheckpointBridge), so before
+    // this restructure EVERY round re-shuffled the full edge relation
+    // into the hop join despite the edges being "pre-partitioned by
+    // src". With the bridge's metadata-keeping checkpoint + a fixed
+    // partition count, the edge set shuffles and sorts ONCE and every
+    // round's hop and label joins reuse its layout; only the
+    // aggregations, the pointer-doubling re-key, and the next-label
+    // repartition exchange per round. AQE's in-loop services are not
+    // missed: skew is handled by the explicit salt stage / map-side min
+    // partials, and coalescing is subsumed by sizing `parts` from the
+    // measured edge count (250k rows/partition, capped by the caller's
+    // shuffle.partitions — the operator's cluster-scale knob). The
+    // cloned session keeps the conf scope PRIVATE: queries planned
+    // concurrently on the caller's session (e.g. a streaming
+    // micro-batch whose first-batch plan bakes shuffle.partitions into
+    // its state layout) never observe the loop's settings.
+    val sym0raw = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // Stage once at the caller's partitioning to measure the edge count
+    // without recomputing the caller's upstream lineage, then restage
+    // partitioned-by-src at the pinned count for the loop. This first
+    // pass runs under the CALLER's session — the upstream lineage (e.g.
+    // canonMap's set-building aggregation) is the expensive part of
+    // small-graph invocations and keeps AQE's coalescing; its
+    // checkpoint's partitioning metadata is discarded by the restage,
+    // so losing it to AQE costs nothing.
+    val sym0 =
+      CheckpointBridge.localCheckpointKeepPartitioning(sym0raw, eager = true)
+    // Every live checkpoint handle, so a mid-loop failure (including the
+    // non-convergence throw) releases the blocks instead of pinning the
+    // edge set until the ContextCleaner happens to notice.
+    val live = scala.collection.mutable.ArrayBuffer(sym0.rdd)
+    def release(r: org.apache.spark.rdd.RDD[_]): Unit = {
+      r.unpersist(false)
+      live -= r.asInstanceOf[org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]]
+    }
+    def cp(df: DataFrame, eager: Boolean): CheckpointBridge.Checkpointed = {
+      val c = CheckpointBridge.localCheckpointKeepPartitioning(df, eager)
+      live += c.rdd
+      c
     }
     try {
-      val sym0raw = edges.select(col("src"), col("dst"))
-        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-      // Stage once at the session's partitioning to measure the edge
-      // count without recomputing the caller's upstream lineage, then
-      // restage partitioned-by-src at the pinned count for the loop.
-      // This first pass still runs under the CALLER's confs — the
-      // upstream lineage (e.g. canonMap's set-building aggregation) is
-      // the expensive part of small-graph invocations and keeps AQE's
-      // coalescing; its checkpoint's partitioning metadata is discarded
-      // by the restage, so losing it to AQE costs nothing.
-      val (sym0, sym0Rdd) =
-        CheckpointBridge.localCheckpointKeepPartitioning(sym0raw, eager = true)
-      val eCount = sym0.count()
-      conf.set(aqeKey, "false")
+      val eCount = sym0.rows.get
+      val loopSession = spark.newSession()
+      loopSession.conf.set("spark.sql.adaptive.enabled", "false")
       val parts = math.min(
-        spPrev.map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism),
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
         math.max(1L, (eCount + 249_999) / 250_000)).toInt
-      conf.set(spKey, parts.toString)
-      val (sym, symRdd) = CheckpointBridge.localCheckpointKeepPartitioning(
-        sym0.repartition(parts, col("src")).sortWithinPartitions("src"),
-        eager = true)
-      sym0Rdd.unpersist(false)
+      loopSession.conf.set("spark.sql.shuffle.partitions", parts.toString)
 
-      val fromEdges = sym.select(col("src").as("id"))
+      val sym = cp(rebind(loopSession, sym0.df)
+        .repartition(parts, col("src")).sortWithinPartitions("src"),
+        eager = true)
+      release(sym0.rdd)
+
+      val fromEdges = sym.df.select(col("src").as("id"))
       val allVerts = vertices
-        .map(v => v.select(col(v.columns.head).as("id")).unionByName(fromEdges))
+        .map(v => rebind(loopSession, v.select(col(v.columns.head).as("id")))
+          .unionByName(fromEdges))
         .getOrElse(fromEdges)
         .distinct()
         .sortWithinPartitions("id")
-      var (labels, labelsRdd) = CheckpointBridge.localCheckpointKeepPartitioning(
-        allVerts.withColumn("component", col("id")), eager = true)
+      var labels = cp(allVerts.withColumn("component", col("id")), eager = true)
 
       var iter = 0
       var converged = false
@@ -114,7 +132,7 @@ object ConnectedComponents {
         // engines without partial pushdown and as the measured A/B
         // (BENCH.md §28). sym and labels are co-partitioned (and co-sorted)
         // on the join key, so this join moves no rows.
-        val joined = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        val joined = sym.df.join(labels.df.withColumnRenamed("id", "src"), "src")
         val withNbr =
           if (salts > 1) joined
             .withColumn("salt", pmod(hash(col("src")), lit(salts)))
@@ -134,8 +152,8 @@ object ConnectedComponents {
         // is planned twice and — with AQE's stage reuse off in here —
         // would COMPUTE twice per round. The exchange map-stage computes
         // and caches the blocks; the join's result stage reads the cache.
-        val (hopped, hoppedRdd) = CheckpointBridge.localCheckpointKeepPartitioning(
-          labels.join(withNbr, Seq("id"), "left")
+        val hopped = cp(
+          labels.df.join(withNbr, Seq("id"), "left")
             .select(col("id"), col("component").as("old"),
               least(col("component"), coalesce(col("nbr_min"), col("component")))
                 .as("component")),
@@ -146,7 +164,7 @@ object ConnectedComponents {
         // `left` + coalesce guards the (impossible) miss anyway. parents is
         // hopped re-keyed by id (aliased "component") with its sort order
         // intact, so only the probe side re-shuffles (and re-sorts) here.
-        val parents = hopped
+        val parents = hopped.df
           .select(col("id").as("component"), col("component").as("gp"))
         // LAZY checkpoint: the convergence count right below materializes
         // it, so each iteration runs ONE job (an eager checkpoint would run
@@ -155,8 +173,8 @@ object ConnectedComponents {
         // reusable layout; the count's LocalLimit schedules every
         // partition, so the checkpoint is FULLY materialized before the
         // superseded round's blocks are released below.
-        val (next, nextRdd) = CheckpointBridge.localCheckpointKeepPartitioning(
-          hopped.join(parents, Seq("component"), "left")
+        val next = cp(
+          hopped.df.join(parents, Seq("component"), "left")
             .select(col("id"), col("old"),
               least(col("component"), coalesce(col("gp"), col("component")))
                 .as("component"))
@@ -164,13 +182,12 @@ object ConnectedComponents {
             .sortWithinPartitions("id"),
           eager = false)
 
-        val changed = next.filter(col("component") =!= col("old"))
+        val changed = next.df.filter(col("component") =!= col("old"))
           .limit(1).count()
         converged = changed == 0L
-        hoppedRdd.unpersist(false)
-        labelsRdd.unpersist(false)
-        labels = next.drop("old")
-        labelsRdd = nextRdd
+        release(hopped.rdd)
+        release(labels.rdd)
+        labels = next.copy(df = next.df.drop("old"))
         iter += 1
       }
       if (!converged)
@@ -178,11 +195,17 @@ object ConnectedComponents {
           s"ConnectedComponents did not converge within $maxIter iterations " +
             "(pointer-doubling bounds rounds by log2(diameter); raise maxIter " +
             "only if the graph legitimately has diameter > 2^maxIter)")
-      symRdd.unpersist(false)
-      labels
-    } finally {
-      restore(aqeKey, aqePrev)
-      restore(spKey, spPrev)
+      release(sym.rdd)
+      // The final labels' blocks stay pinned — they ARE the result; the
+      // ContextCleaner reclaims them once the caller drops the returned
+      // DataFrame. Re-bound to the caller's session so downstream plans
+      // composed over the result use the caller's confs, not the loop's.
+      rebind(spark, labels.df)
+    } catch {
+      case t: Throwable =>
+        live.foreach(r =>
+          try r.unpersist(false) catch { case _: Throwable => () })
+        throw t
     }
   }
 

@@ -3,6 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.LogicalRDD
 
@@ -29,34 +30,54 @@ import org.apache.spark.sql.execution.LogicalRDD
   * Callers must run with AQE disabled for the reuse to materialize
   * (`AdaptiveSparkPlanExec` re-plans around leaf partitioning);
   * [[graft.operators.ConnectedComponents.run]] pins that for the scope
-  * of its loop.
+  * of its loop via a cloned session. Under an AQE-planned input the
+  * metadata degrades to `UnknownPartitioning` rather than failing —
+  * correct, just reuse-free, which is fine for staging checkpoints
+  * whose layout is about to be replaced anyway.
   *
-  * Also returns the persisted RDD handle: `Dataset.localCheckpoint`
-  * gives callers no way to release a checkpoint, so an N-round iterative
-  * loop accumulates N copies of its working set in the block store (the
+  * Also returns the persisted RDD handle and (for eager checkpoints)
+  * the materialized row count: `Dataset.localCheckpoint` gives callers
+  * no way to release a checkpoint, so an N-round iterative loop
+  * accumulates N copies of its working set in the block store (the
   * same accumulation measured as a GC explosion in BENCH.md §25).
   * Iterative callers unpersist round k-1's handle once round k is
-  * materialized. A lazy checkpoint materializes on the first action that
-  * consumes ALL partitions (a `limit(1).count()` qualifies: `LocalLimit`
-  * schedules every partition, and persisted partitions unroll fully on
-  * first compute); unpersist the PREVIOUS handle only after such an
-  * action, since the truncated lineage cannot recompute dropped blocks.
+  * materialized. A lazy checkpoint materializes on the first action
+  * that consumes ALL partitions (a `limit(1).count()` qualifies:
+  * `LocalLimit` schedules every partition, and persisted partitions
+  * unroll fully on first compute); unpersist the PREVIOUS handle only
+  * after such an action, since the truncated lineage cannot recompute
+  * dropped blocks.
   */
 object CheckpointBridge {
 
+  final case class Checkpointed(
+      df: DataFrame, rdd: RDD[InternalRow], rows: Option[Long])
+
   def localCheckpointKeepPartitioning(df: DataFrame, eager: Boolean)
-      : (DataFrame, RDD[InternalRow]) = {
+      : Checkpointed = {
     val ds = df.asInstanceOf[classic.Dataset[_]]
     val spark = ds.sparkSession
-    val plan = ds.queryExecution.executedPlan
-    // Rows are reused mutable buffers; copy before handing them to the
-    // block store (same contract as Dataset.localCheckpoint).
-    val internal = plan.execute().map(_.copy())
+    val qe = ds.queryExecution
+    // toRdd (not executedPlan.execute()) keeps the SQLExecutionRDD
+    // wrapper, so tasks that materialize the checkpoint — including the
+    // eager count below and any lazy back-fill job — observe the
+    // session's SQLConf, matching Dataset.localCheckpoint. Rows are
+    // reused mutable buffers; copy before handing them to the block
+    // store (same contract as Dataset.localCheckpoint).
+    val internal = qe.toRdd.map(_.copy())
     internal.localCheckpoint()
-    if (eager) internal.count()
+    val rows = if (eager) Some(internal.count()) else None
+    // Accessing toRdd above forced planning (and for AQE, the final
+    // plan), so the physical plan's metadata is settled; degrade to
+    // Unknown rather than propagate a stale/adaptive expression.
+    val plan = qe.executedPlan
+    val (part, ord) =
+      try (plan.outputPartitioning, plan.outputOrdering)
+      catch { case scala.util.control.NonFatal(_) =>
+        (UnknownPartitioning(0), Nil) }
     val lr = LogicalRDD(
-      plan.output, internal, plan.outputPartitioning, plan.outputOrdering,
+      plan.output, internal, part, ord,
       isStreaming = false, stream = None)(spark, None, None)
-    (classic.Dataset.ofRows(spark, lr), internal)
+    Checkpointed(classic.Dataset.ofRows(spark, lr), internal, rows)
   }
 }

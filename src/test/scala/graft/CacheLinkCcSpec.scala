@@ -91,6 +91,49 @@ class CacheLinkCcSpec extends AnyFunSuite {
     assert(got.filter(col("component") =!= "c00000").count() == 0L)
   }
 
+  test("J3: bridge checkpoints keep partitioning — hop join is exchange- and sort-free (BENCH §29)") {
+    // Pins the plan property the CC loop's 1.6x rests on: joins between
+    // CheckpointBridge checkpoints co-partitioned/co-sorted on the key
+    // must plan with NO Exchange and NO standalone Sort (AQE off, as the
+    // loop runs). The control assertion documents the Spark 4.1.2
+    // behavior the bridge exists for — plain Dataset.localCheckpoint
+    // drops the metadata and re-shuffles. If the CONTROL assertion ever
+    // fails, Spark fixed its checkpoint and the bridge may be droppable.
+    import org.apache.spark.sql.graft.CheckpointBridge
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val e = s2.range(200).select(
+      format_string("%06d", col("id")).as("src"),
+      format_string("%06d", (col("id") + 1) % 100).as("dst"))
+
+    val sym = CheckpointBridge.localCheckpointKeepPartitioning(
+      e.repartition(4, col("src")).sortWithinPartitions("src"), eager = true)
+    val labels = CheckpointBridge.localCheckpointKeepPartitioning(
+      sym.df.select(col("src").as("id")).distinct().sortWithinPartitions("id")
+        .withColumn("component", col("id")), eager = true)
+    val hop = sym.df.join(labels.df.withColumnRenamed("id", "src"), "src")
+    assert(hop.count() == 200L)
+    val plan = hop.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Sort ["), plan) // "Sort [" misses SortMergeJoin
+
+    val symPlain = e.repartition(4, col("src")).sortWithinPartitions("src")
+      .localCheckpoint(true)
+    val labelsPlain = symPlain.select(col("src").as("id")).distinct()
+      .sortWithinPartitions("id").withColumn("component", col("id"))
+      .localCheckpoint(true)
+    val hopPlain = symPlain
+      .join(labelsPlain.withColumnRenamed("id", "src"), "src")
+    assert(hopPlain.count() == 200L)
+    assert(hopPlain.queryExecution.executedPlan.toString.contains("Exchange"),
+      "Dataset.localCheckpoint now preserves partitioning metadata — " +
+        "re-evaluate whether CheckpointBridge is still needed")
+    sym.rdd.unpersist(false)
+    labels.rdd.unpersist(false)
+  }
+
   test("J3: isolated vertices survive canonMap (vertex set from links, not edges)") {
     // E07 is linked in one doc with no co-occurring entity: no edge touches
     // it, but the canon map must still carry it as its own canonical id.
