@@ -611,8 +611,8 @@ object SparkEntry {
 
     // ---- dedup: MinHash signatures ---------------------------------------
     QuerySpec("dedup_minhash",
-      (s, dir) => Dedup.withShingleDigests(cleanedDocs(s, dir), "cleaned")
-        .select(col("doc_id"), Dedup.signatureFromDigests(col("dg")).as("sig"))
+      (s, dir) => Dedup.withMinHashes(cleanedDocs(s, dir), "cleaned")
+        .select(col("doc_id"), Dedup.signatureFromMinhashes(col("mh")).as("sig"))
         .orderBy("doc_id"),
       Some {
         val sh = Dedup.shinglesSqlDuck("string_split(cleaned, ' ')")
@@ -627,9 +627,9 @@ object SparkEntry {
     // boilerplate-license defense; overflow surfaced by lshOverflowBands.
     QuerySpec("dedup_lsh_pairs",
       (s, dir) => {
-        val sh = Dedup.withShingleDigests(cleanedDocs(s, dir), "cleaned")
+        val sh = Dedup.withMinHashes(cleanedDocs(s, dir), "cleaned")
         val bands = sh.select(col("doc_id"),
-          explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
+          explode(Dedup.bandKeysFromMinhashes(col("mh"))).as("band"))
         Dedup.lshCandidatePairs(bands).orderBy("da", "db")
       },
       Some {
@@ -652,9 +652,9 @@ object SparkEntry {
     // lsh_pairs QUALIFY inverted) checks the band keys and counts exactly.
     QuerySpec("dedup_overflow",
       (s, dir) => {
-        val sh = Dedup.withShingleDigests(cleanedDocs(s, dir), "cleaned")
+        val sh = Dedup.withMinHashes(cleanedDocs(s, dir), "cleaned")
         val bands = sh.select(col("doc_id"),
-          explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
+          explode(Dedup.bandKeysFromMinhashes(col("mh"))).as("band"))
         Dedup.lshOverflowBands(bands, maxBucketSize = Dedup.overflowGateCap)
           .orderBy("band")
       },
@@ -689,10 +689,10 @@ object SparkEntry {
     // the standard MinHash-candidate → exact-verify dedup pipeline.
     QuerySpec("dedup_jaccard",
       (s, dir) => {
-        val base = Dedup.withShingleDigests(cleanedDocs(s, dir), "cleaned",
+        val base = Dedup.withMinHashes(cleanedDocs(s, dir), "cleaned",
           shingleSetCol = Some("sh"))
         val bands = base.select(col("doc_id"),
-          explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
+          explode(Dedup.bandKeysFromMinhashes(col("mh"))).as("band"))
         val pairs = Dedup.lshCandidatePairs(bands).select("da", "db")
         val sa = base.select(col("doc_id").as("da"), col("sh").as("sa"))
         val sb = base.select(col("doc_id").as("db"), col("sh").as("sb"))
@@ -728,10 +728,10 @@ object SparkEntry {
     // keeper is the NUMERIC minimum, matching the SQL twin's min().
     QuerySpec("dedup_clusters",
       (s, dir) => {
-        val base = Dedup.withShingleDigests(cleanedDocs(s, dir), "cleaned",
+        val base = Dedup.withMinHashes(cleanedDocs(s, dir), "cleaned",
           shingleSetCol = Some("sh"))
         val bands = base.select(col("doc_id"),
-          explode(Dedup.bandKeysFromDigests(col("dg"))).as("band"))
+          explode(Dedup.bandKeysFromMinhashes(col("mh"))).as("band"))
         val pairs = Dedup.lshCandidatePairs(bands).select("da", "db")
         val sa = base.select(col("doc_id").as("da"), col("sh").as("sa"))
         val sb = base.select(col("doc_id").as("db"), col("sh").as("sb"))

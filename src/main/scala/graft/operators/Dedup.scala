@@ -7,9 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.Text
 
 /** Training-data deduplication suite over the `documents` corpus — exact,
-  * MinHash+LSH, SimHash, and n-gram Jaccard. All pure Catalyst (higher-order
-  * array functions + sha2), so every variant whole-stage-codegens and has an
-  * exact DuckDB oracle twin.
+  * MinHash+LSH, SimHash, and n-gram Jaccard, each with an exact DuckDB
+  * oracle twin.
   *
   * Hash-function note: every hash is `sha256` over strings and every
   * "minimum" is a string minimum over hex digests — deliberately
@@ -17,6 +16,16 @@ import graft.functions.Text
   * At 100 TB the sha256-per-shingle cost is the dominated term versus the
   * shuffle it avoids: dedup keys are computed map-side, the only shuffles
   * are the final groupBys/joins on short digest keys.
+  *
+  * Execution note: the MinHash hot path is the NATIVE fused kernel
+  * [[graft.expressions.MinHashes]] (tokens → per-shingle sha256 → 8 running
+  * unsigned-int minima, no intermediate arrays) and the shingle-set path is
+  * [[graft.expressions.Shingles]] — the declarative higher-order-function
+  * chain here ([[shingles]]/[[shingleDigests]]/[[minhashFromDigests]]) is
+  * their parity twin (HOFs are CodegenFallback: they drop the projection
+  * out of whole-stage codegen and materialize shingle + 64-hex digest
+  * arrays per row). Edit kernel and twin together, never one side; the
+  * randomized parity spec in DedupSimSpec pins them equal.
   */
 object Dedup {
 
@@ -56,12 +65,58 @@ object Dedup {
   def bound(c: Column, f: Column => Column): Column =
     element_at(transform(array(c), x => f(x)), 1)
 
-  /** df + shingle-digest column `dg` (and optionally the distinct shingle
-    * set) with the token array MATERIALIZED in its own projection — it is
+  /** Native fused MinHash minima (array of [[numHashes]] 8-hex strings) —
+    * see [[graft.expressions.MinHashes]] for the twin contract.
+    */
+  def minhashes(toks: Column): Column =
+    graft.expressions.MinHashes.min_hashes(toks)
+
+  /** Native shingle array — see [[graft.expressions.Shingles]]. */
+  def shinglesNative(toks: Column): Column =
+    graft.expressions.Shingles.shingle_array(toks)
+
+  /** df + native-kernel MinHash minima column `mh` (and optionally the
+    * distinct shingle set). The token array is bound in its own projection
+    * so the two kernels share ONE split. This is the canonical entry for
+    * every MinHash-family query; [[withShingleDigests]] below is its
+    * declarative parity twin.
+    */
+  def withMinHashes(df: DataFrame, textCol: String,
+      shingleSetCol: Option[String] = None): DataFrame = {
+    val base = df.withColumn("toks__", tokens(col(textCol)))
+      .withColumn("mh", minhashes(col("toks__")))
+    shingleSetCol
+      .map(c => base.withColumn(c, array_distinct(shinglesNative(col("toks__")))))
+      .getOrElse(base)
+      .drop("toks__")
+  }
+
+  /** Full signature from the kernel minima: pipe-joined, null minima
+    * (under-k docs) skipped by concat_ws — identical to
+    * [[signatureFromDigests]] by the kernel's twin contract.
+    */
+  def signatureFromMinhashes(mh: Column): Column =
+    concat_ws("|", (0 until numHashes).map(h => element_at(mh, h + 1)): _*)
+
+  /** LSH band keys from the kernel minima — identical to
+    * [[bandKeysFromDigests]] by the kernel's twin contract; the per-band
+    * sha256 over two 8-hex strings is a plain codegen scalar.
+    */
+  def bandKeysFromMinhashes(mh: Column): Column = {
+    val r = numHashes / numBands
+    array((0 until numBands).map { b =>
+      val parts = (0 until r).map(j => element_at(mh, b * r + j + 1))
+      concat(lit(s"$b:"), sha2(concat_ws("|", parts: _*), 256))
+    }: _*)
+  }
+
+  /** PARITY TWIN of [[withMinHashes]] (declarative HOF chain): df +
+    * shingle-digest column `dg` (and optionally the distinct shingle set)
+    * with the token array MATERIALIZED in its own projection — it is
     * referenced multiple times, so CollapseProject keeps it as a bound
     * attribute instead of inlining the split into the shingle lambdas
-    * (the 6× trap above). This is the canonical entry for every
-    * MinHash-family query.
+    * (the 6× trap above). Kept as the spec-pinned reference formulation;
+    * production queries use the kernel entry.
     */
   def withShingleDigests(df: DataFrame, textCol: String,
       shingleSetCol: Option[String] = None): DataFrame = {

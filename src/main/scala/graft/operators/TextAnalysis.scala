@@ -116,6 +116,13 @@ object TextAnalysis {
     * key at scale.
     */
   def fingerprint(text: Column): Column =
+    graft.expressions.MinShingleDigest.min_shingle_digest(Dedup.tokens(text))
+
+  /** PARITY TWIN of [[fingerprint]] (declarative HOF chain) — edit kernel
+    * and twin together; the randomized spec in AnalysisStreamingSpec pins
+    * them equal.
+    */
+  private[graft] def fingerprintHof(text: Column): Column =
     // bind the token array once per row — inlining the split into the
     // shingle lambdas re-splits the string per element (Dedup.bound doc)
     Dedup.bound(Dedup.tokens(text), toks =>

@@ -49,6 +49,23 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("fingerprint: native MinShingleDigest == HOF twin (randomized)") {
+    // under-k docs must be NULL both sides; multi-byte tokens and empty
+    // tokens exercise the byte-wise-unsigned vs hex-lexicographic order
+    // equivalence the kernel relies on.
+    val rnd = new scala.util.Random(73)
+    val vocab = Vector("alpha", "beta", "γάμμα", "дельта", "", "e", "多字节词")
+    val texts = (0 until 300).map { _ =>
+      Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } ++ Seq("", "one", "one two", "one two three")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val got = df.select(
+        TextAnalysis.fingerprint(col("t")).as("n"),
+        TextAnalysis.fingerprintHof(col("t")).as("h"))
+      .collect()
+    got.foreach { r => assert(r.get(0) == r.get(1), s"${r.get(0)} != ${r.get(1)}") }
+  }
+
   test("multimodal: synthesized BMPs decode via javax.imageio to the derived dims") {
     val docs = Seq((1L, "hello world"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
     val got = Multimodal.decodeMeta(spark, Multimodal.withBmpPayload(docs))

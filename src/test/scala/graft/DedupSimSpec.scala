@@ -115,6 +115,66 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("native MinHashes/Shingles == HOF digest chain (randomized)") {
+    // the fused kernel must reproduce the declarative twin exactly —
+    // per-element minima, the pipe-joined signature, the band keys, and
+    // the shingle array itself — across random token arrays including
+    // empty-string tokens, multi-byte UTF-8, and under-k docs.
+    val rnd = new scala.util.Random(59)
+    val vocab = Vector("the", "cat", "sat", "mat", "δοκιμή", "多字节", "",
+      "x", "ω-token", "naïve")
+    val rows: Seq[Seq[String]] = (0 until 300).map { _ =>
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    } ++ Seq(Seq.empty[String], Seq("a"), Seq("a", "b"), Seq("a", "b", "c"))
+    val twinMins = array((0 until Dedup.numHashes)
+      .map(h => Dedup.minhashFromDigests(col("dg"), h)): _*)
+    val got = rows.toDF("toks")
+      .withColumn("dg", Dedup.shingleDigests(Dedup.shingles(col("toks"))))
+      .withColumn("mh", Dedup.minhashes(col("toks")))
+      .select(col("mh"), twinMins.as("tw"),
+        Dedup.signatureFromMinhashes(col("mh")).as("sigN"),
+        Dedup.signatureFromDigests(col("dg")).as("sigT"),
+        Dedup.bandKeysFromMinhashes(col("mh")).as("bkN"),
+        Dedup.bandKeysFromDigests(col("dg")).as("bkT"),
+        Dedup.shinglesNative(col("toks")).as("shN"),
+        Dedup.shingles(col("toks")).as("shT"))
+      .collect()
+    assert(got.length == rows.length)
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "minima")
+      assert(r.getString(2) == r.getString(3), "signature")
+      assert(r.getSeq[String](4) == r.getSeq[String](5), "band keys")
+      assert(r.getSeq[String](6) == r.getSeq[String](7), "shingles")
+    }
+
+    // null tokens INSIDE the array: concat_ws skips them (no doubled
+    // separator) — both kernels must agree with the HOF chain
+    val nullTok = spark.sql(
+      "SELECT array('a', cast(null AS string), 'b', 'c', 'd') AS toks")
+      .withColumn("dg", Dedup.shingleDigests(Dedup.shingles(col("toks"))))
+      .withColumn("mh", Dedup.minhashes(col("toks")))
+      .select(col("mh"), twinMins,
+        Dedup.shinglesNative(col("toks")), Dedup.shingles(col("toks")))
+      .collect().head
+    assert(nullTok.getSeq[String](0) == nullTok.getSeq[String](1))
+    assert(nullTok.getSeq[String](2) == nullTok.getSeq[String](3))
+
+    // NULL token array: the twin's when-guard folds to all-null minima,
+    // the kernel propagates a null ARRAY — downstream-identical through
+    // element_at/concat_ws/sha2 (documented in MinHashes' scaladoc)
+    val nullArr = spark.range(1)
+      .select(lit(null).cast("array<string>").as("toks"))
+      .withColumn("dg", Dedup.shingleDigests(Dedup.shingles(col("toks"))))
+      .withColumn("mh", Dedup.minhashes(col("toks")))
+      .select(Dedup.signatureFromMinhashes(col("mh")),
+        Dedup.signatureFromDigests(col("dg")),
+        Dedup.bandKeysFromMinhashes(col("mh")),
+        Dedup.bandKeysFromDigests(col("dg")))
+      .collect().head
+    assert(nullArr.getString(0) == nullArr.getString(1))
+    assert(nullArr.getSeq[String](2) == nullArr.getSeq[String](3))
+  }
+
   test("ANN: brute-force top-k matches local computation on sf0.001") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 3)
