@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -61,15 +59,12 @@ case class MinHashes(child: Expression) extends UnaryExpression
 object MinHashes {
 
   private val numHashes = graft.operators.Dedup.numHashes
-  private val shingleSize = graft.operators.Dedup.shingleSize
-
-  private val hexDigits = "0123456789abcdef".getBytes
 
   private def hex8(v: Long): UTF8String = {
     val cs = new Array[Byte](8)
     var i = 0
     while (i < 8) {
-      cs(i) = hexDigits(((v >>> ((7 - i) * 4)) & 0xF).toInt)
+      cs(i) = ShingleHashing.hexDigits(((v >>> ((7 - i) * 4)) & 0xF).toInt)
       i += 1
     }
     UTF8String.fromBytes(cs)
@@ -81,31 +76,14 @@ object MinHashes {
     // -1 = "no shingle seen"; real values are unsigned 32-bit in [0, 2^32)
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, -1L)
-    if (n >= shingleSize) {
-      val bytes = new Array[Array[Byte]](n)
-      var i = 0
-      while (i < n) {
-        val u = toks.getUTF8String(i)
-        bytes(i) = if (u == null) null else u.getBytes
-        i += 1
-      }
-      val md = MessageDigest.getInstance("SHA-256")
+    if (n >= ShingleHashing.shingleSize) {
+      val bytes = ShingleHashing.tokenBytes(toks)
+      val md = ShingleHashing.sha256()
       val dig = new Array[Byte](32)
       var s = 0
-      val last = n - shingleSize
+      val last = n - ShingleHashing.shingleSize
       while (s <= last) {
-        var first = true
-        var j = s
-        while (j < s + shingleSize) {
-          val b = bytes(j)
-          if (b != null) {
-            if (!first) md.update(' '.toByte)
-            md.update(b)
-            first = false
-          }
-          j += 1
-        }
-        md.digest(dig, 0, 32) // writes the digest AND resets md
+        ShingleHashing.digestShingle(bytes, s, md, dig)
         var h = 0
         while (h < numHashes) {
           val o = 4 * h

@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -48,10 +46,6 @@ case class MinShingleDigest(child: Expression) extends UnaryExpression
 
 object MinShingleDigest {
 
-  private val shingleSize = graft.operators.Dedup.shingleSize
-
-  private val hexDigits = "0123456789abcdef".getBytes
-
   /** Byte-wise unsigned compare — the raw-digest equivalent of the
     * lowercase-hex lexicographic order the twin's array_min uses.
     */
@@ -71,32 +65,15 @@ object MinShingleDigest {
     */
   def minDigest(toks: ArrayData): UTF8String = {
     val n = toks.numElements()
-    if (n < shingleSize) return null
-    val bytes = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) {
-      val u = toks.getUTF8String(i)
-      bytes(i) = if (u == null) null else u.getBytes
-      i += 1
-    }
-    val md = MessageDigest.getInstance("SHA-256")
+    if (n < ShingleHashing.shingleSize) return null
+    val bytes = ShingleHashing.tokenBytes(toks)
+    val md = ShingleHashing.sha256()
     var dig = new Array[Byte](32)
     var min: Array[Byte] = null
     var s = 0
-    val last = n - shingleSize
+    val last = n - ShingleHashing.shingleSize
     while (s <= last) {
-      var first = true
-      var j = s
-      while (j < s + shingleSize) {
-        val b = bytes(j)
-        if (b != null) {
-          if (!first) md.update(' '.toByte)
-          md.update(b)
-          first = false
-        }
-        j += 1
-      }
-      md.digest(dig, 0, 32) // writes the digest AND resets md
+      ShingleHashing.digestShingle(bytes, s, md, dig)
       if (min == null || lessThan(dig, min)) {
         val t = min
         min = dig
@@ -105,10 +82,10 @@ object MinShingleDigest {
       s += 1
     }
     val hex = new Array[Byte](64)
-    i = 0
+    var i = 0
     while (i < 32) {
-      hex(2 * i) = hexDigits((min(i) >> 4) & 0xF)
-      hex(2 * i + 1) = hexDigits(min(i) & 0xF)
+      hex(2 * i) = ShingleHashing.hexDigits((min(i) >> 4) & 0xF)
+      hex(2 * i + 1) = ShingleHashing.hexDigits(min(i) & 0xF)
       i += 1
     }
     UTF8String.fromBytes(hex)

@@ -5,9 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * language ID (n-gram/marker heuristic), quality scoring, token counting
-  * (whitespace + BPE-ish regex), and document fingerprinting. All pure
-  * Catalyst with exact DuckDB twins; every division is double/double with
-  * identical operand order in both engines.
+  * (whitespace + BPE-ish regex), and document fingerprinting. Everything
+  * has an exact DuckDB twin; lang/quality/token are pure Catalyst, while
+  * the fingerprint hot path is the native
+  * [[graft.expressions.MinShingleDigest]] kernel with its declarative HOF
+  * formulation kept below as [[fingerprintHof]], the spec-pinned parity
+  * twin. Every division is double/double with identical operand order in
+  * both engines.
   */
 object TextAnalysis {
 
