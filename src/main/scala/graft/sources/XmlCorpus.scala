@@ -33,18 +33,20 @@ object XmlCorpus {
   // <location>/<em> (XPath: same parent, but with a preceding sibling)
   // survive, matching the notebook's in-place mutation byte-for-byte even
   // for nested datelines.
-  private val bodyTextXpath =
+  private[graft] val categoryXpath = "/item/category/@scope"
+
+  private[graft] val bodyTextXpath =
     "/item/corpus//text()[" +
       "not(parent::location[parent::p[@class=\"bodytext\"]] " +
       "and not(preceding-sibling::node())) and " +
       "not(parent::em[@class=\"source\"][parent::p[@class=\"bodytext\"]] " +
       "and not(preceding-sibling::node()))]"
 
-  private val departmentXpath =
+  private[graft] val departmentXpath =
     "/item/related[@rel=\"department\"]/directory/meta/id[@scope=\"url\"]"
 
   def isArticle(xml: Column): Column =
-    expr_xpath_string(xml, "/item/category/@scope") === "cms-article"
+    expr_xpath_string(xml, categoryXpath) === "cms-article"
 
   private def expr_xpath_string(c: Column, path: String): Column =
     call_function("xpath_string", c, lit(path))
@@ -55,8 +57,34 @@ object XmlCorpus {
   /** (keys..., department, content) from a raw `xml` string column; rows
     * that are not cms-articles or carry no department are dropped, like
     * the notebook's early returns.
+    *
+    * Extraction runs through the native single-parse kernel
+    * [[graft.expressions.XmlArticle]]: the built-in `xpath`/`xpath_string`
+    * expressions RE-PARSE the document once per call (three parses per
+    * row here, and predicate pushdown would re-evaluate a struct-valued
+    * projection inside the filter too), where the kernel parses once and
+    * evaluates the same three compiled XPath expressions against that
+    * DOM, emitted as a 0/1-element array so the explode drops
+    * non-articles without a re-evaluating filter. [[articlesXpathTwin]]
+    * below is the declarative parity twin (spec-pinned in TextSplitSpec).
     */
-  def articles(df: DataFrame, xmlCol: String = "xml"): DataFrame =
+  def articles(df: DataFrame, xmlCol: String = "xml"): DataFrame = {
+    val keep = df.columns.filter(_ != xmlCol).map(col)
+    df.select(keep :+ explode(
+        graft.expressions.XmlArticle.xml_article(col(xmlCol))).as("x__"): _*)
+      .withColumn("content",
+        Text.datelineStrip(Text.cleanup(col("x__.body"))))
+      .withColumn("department", Text.cleanup(col("x__.department")))
+      .filter(length(trim(col("department"))) > 0)
+      .drop("x__")
+  }
+
+  /** PARITY TWIN of [[articles]] (built-in xpath chain, one re-parse per
+    * xpath call) — edit kernel and twin together; the randomized spec
+    * pins them equal, and the nested-dateline/entity quirks documented
+    * above are asserted against BOTH paths.
+    */
+  private[graft] def articlesXpathTwin(df: DataFrame, xmlCol: String = "xml"): DataFrame =
     df.filter(isArticle(col(xmlCol)))
       .withColumn("content",
         Text.datelineStrip(Text.cleanup(

@@ -300,6 +300,159 @@ class TextSplitSpec extends AnyFunSuite {
     assert(XmlCorpus.articles(drops).select("doc_id").as[Long].collect().toSeq == Seq(4L))
   }
 
+  test("S5 native XmlArticle == built-in xpath chain twin (randomized + quirks + malformed)") {
+    import graft.sources.XmlCorpus
+    // the single-parse kernel must reproduce Spark's xpath/xpath_string
+    // chain exactly: entity-split text-node coalescing, document-order
+    // joins, nested-dateline exclusion, string() semantics for the
+    // department, drop rules, and malformed-XML row dropping.
+    val rnd = new scala.util.Random(83)
+    val frag = Vector("plain", "a & b", "<t>", "&amp;", "&#x41;", "\"q\"",
+      "x > y", "δμ", "多字", "", " lead ", "trail ")
+    val synth = (0 until 200).map { i =>
+      (i.toLong, if (i % 2 == 0) "de" else "en",
+        Seq.fill(1 + rnd.nextInt(6))(frag(rnd.nextInt(frag.size))).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+      .select(col("doc_id"),
+        XmlCorpus.syntheticArticleXml(col("doc_id"), col("lang"), col("text")).as("xml"))
+    val handBuilt = Seq(
+      (1000L,
+        """<item><category scope="cms-article"/><corpus>
+          |<p class="bodytext"><location>L<b>C</b>T</location>Body &amp; more.</p>
+          |<p class="other"><location>KEPT</location>other para</p>
+          |<p class="bodytext">Second <em class="source">S<i>SC</i>ST</em> para.</p>
+          |</corpus><related rel="department"><directory><meta>
+          |<id scope="url">p1</id><id scope="url">p2-ignored</id></meta></directory></related></item>""".stripMargin),
+      (1001L, """<item><category scope="ad"/><corpus><p class="bodytext">x</p></corpus></item>"""),
+      (1002L, """<item><category scope="cms-article"/><corpus><p class="bodytext">y</p></corpus></item>"""),
+      (1005L,
+        """<item><category scope="cms-article"/><corpus><p class="bodytext">
+          |multi
+          |line   spaced</p></corpus><related rel="department"><directory><meta>
+          |<id scope="url">  d spaced  </id></meta></directory></related></item>""".stripMargin)
+    ).toDF("doc_id", "xml")
+    Seq(synth, handBuilt).foreach { df =>
+      val kernel = XmlCorpus.articles(df)
+        .select("doc_id", "department", "content")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      val twin = XmlCorpus.articlesXpathTwin(df)
+        .select("doc_id", "department", "content")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      assert(kernel == twin)
+    }
+
+    // malformed XML: Spark's xpath family THROWS (UDFXPathUtil wraps the
+    // SAXParseException — it does not null out), so the kernel must too
+    val bad = Seq((1L, """<item><category scope="cms-article"/><corpus>""")).toDF("doc_id", "xml")
+    Seq(XmlCorpus.articles(bad), XmlCorpus.articlesXpathTwin(bad)).foreach { d =>
+      val e = intercept[Exception](d.collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[org.xml.sax.SAXParseException]),
+        s"expected a wrapped SAXParseException, got $e")
+    }
+  }
+
+  test("S5 native XmlArticle == twin on real markup: comments/PIs/nesting (raw, pre-cleanup)") {
+    import graft.sources.XmlCorpus
+    // The synthesis ESCAPES text, so the randomized parity test above can
+    // never produce markup structure. This one builds documents with real
+    // comments (text-node boundary + counts as preceding-sibling), PIs,
+    // nested datelines, multiple corpus/category elements, non-item roots,
+    // and nested department ids — and compares the RAW kernel struct
+    // against the raw xpath chain (no cleanup — cleanup collapses
+    // whitespace and would mask a space-join divergence). CDATA is
+    // deliberately absent: the twin's Xalan DTM drops CDATA-typed runs
+    // from text() (a Xalan artifact, pinned in the next test), so the
+    // kernel↔twin contract covers CDATA-free documents only.
+    val rnd = new scala.util.Random(167)
+    val pieces = Vector(
+      "text one",
+      "a &amp; b",
+      "<!-- boundary comment -->",
+      "<?pi some data?>",
+      "tail",
+      "<location>LeadDrop<b>child</b>tailKept</location>",
+      "<location><!-- c -->afterCommentKept</location>",
+      "<location>onlyLead</location>",
+      "<location/>",
+      "<em class=\"source\">srcLead<i>k</i>t</em>",
+      "<em class=\"other\">emOtherKept</em>",
+      "mid<!-- x -->split",
+      "<span>nested <b>deep</b> text</span>")
+    def para(): String = {
+      val cls = if (rnd.nextBoolean()) "bodytext" else "plain"
+      val inner = Seq.fill(1 + rnd.nextInt(5))(pieces(rnd.nextInt(pieces.size))).mkString("")
+      s"""<p class="$cls">$inner</p>"""
+    }
+    val synthDocs = (0 until 120).map { i =>
+      val cat = i % 4 match {
+        case 0 => """<category scope="cms-article"/>"""
+        case 1 => """<category/><category scope="cms-article"/>""" // first lacks scope
+        case 2 => """<category scope="ad"/><category scope="cms-article"/>""" // first wins: ad
+        case _ => """<category scope="cms-article"/>"""
+      }
+      val corpora =
+        if (i % 5 == 0) s"<corpus>${para()}</corpus><corpus>${para()}</corpus>"
+        else s"<corpus>${para()}${para()}</corpus>"
+      val dept = i % 6 match {
+        case 0 => ""
+        case 1 => """<related rel="department"><directory><meta><id scope="url">d<b>ee</b>p</id></meta></directory></related>"""
+        case 2 => """<related rel="other"><directory><meta><id scope="url">wrongrel</id></meta></directory></related>"""
+        case _ => """<related rel="department"><directory><meta><id scope="url">plain-dept</id></meta></directory></related>"""
+      }
+      val root = if (i % 30 == 29) "notitem" else "item"
+      (i.toLong, s"<$root>$cat$corpora$dept</$root>")
+    }
+    val extra = Seq(
+      // location directly under corpus (no p.bodytext parent) → kept
+      (900L, """<item><category scope="cms-article"/><corpus><location>keptNoP</location>t</corpus></item>"""),
+      // p.bodytext nested deeper inside corpus — predicate is unanchored
+      (901L, """<item><category scope="cms-article"/><corpus><div><p class="bodytext"><location>drop</location>keep</p></div></corpus></item>"""),
+      // comment/PI as the ONLY thing between two text runs inside location
+      (902L, """<item><category scope="cms-article"/><corpus><p class="bodytext"><location>lead<?pi x?>afterPi</location></p></corpus></item>"""))
+    val docs = (synthDocs ++ extra).toDF("doc_id", "xml")
+
+    val kernel = docs.select(col("doc_id"), explode(
+        graft.expressions.XmlArticle.xml_article(col("xml"))).as("x"))
+      .select(col("doc_id"), col("x.body"), col("x.department"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val twin = docs.filter(XmlCorpus.isArticle(col("xml")))
+      .select(col("doc_id"),
+        array_join(call_function("xpath", col("xml"), lit(XmlCorpus.bodyTextXpath)), " "),
+        call_function("xpath_string", col("xml"), lit(XmlCorpus.departmentXpath)))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(kernel.size == twin.size && kernel.nonEmpty)
+    kernel.zip(twin).foreach { case (k, t) =>
+      assert(k == t, s"kernel=$k twin=$t")
+    }
+  }
+
+  test("S5 CDATA: kernel coalesces like the reference parser; the xpath twin's Xalan DTM drops it (pinned divergence)") {
+    import graft.sources.XmlCorpus
+    // Xalan's SAX2DTM types a coalesced character run by the state it
+    // STARTS in: a run that begins inside a CDATA section becomes a
+    // CDATA_SECTION node, which its text() node-test then skips — so
+    // `pre<![CDATA[cd]]>post` yields ["pre"] from Spark's xpath (the
+    // CDATA content AND the coalesced trailing text both vanish). The
+    // reference parser (ElementTree/expat, notebook cells 2-7) merges
+    // CDATA into the surrounding character data, so the KERNEL follows
+    // the reference: body = "precdpost". This test pins BOTH behaviors;
+    // if Spark/Xalan ever fixes the DTM, the twin assertion flags it and
+    // the parity contract above can be widened to include CDATA.
+    val doc = Seq((1L,
+      """<item><category scope="cms-article"/><corpus><p class="bodytext">pre<![CDATA[cd]]>post</p></corpus></item>"""))
+      .toDF("doc_id", "xml")
+    val kernelBody = doc.select(explode(
+        graft.expressions.XmlArticle.xml_article(col("xml"))).as("x"))
+      .select("x.body").as[String].collect().head
+    assert(kernelBody == "precdpost")
+    val twinBody = doc.select(array_join(
+        call_function("xpath", col("xml"), lit(XmlCorpus.bodyTextXpath)), " "))
+      .as[String].collect().head
+    assert(twinBody == "pre", s"Xalan DTM CDATA behavior changed: <$twinBody> — widen the parity contract")
+  }
+
   test("uuid5 X500 cache-key parity: goldens from Python uuid.uuid5(NAMESPACE_X500, s)") {
     // the reference's on-disk cache key (cacheServer.py:34,66,96) — a
     // migration from a real reference cache file must reproduce its keys
