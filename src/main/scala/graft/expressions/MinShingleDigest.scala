@@ -23,6 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * for under-k docs (array_min of an empty array) and for a null token
   * array (the twin's when-guard folds to the same null); null tokens
   * inside a shingle are skipped exactly like concat_ws.
+  *
+  * Because an under-k NON-null input yields null, this expression is
+  * unconditionally nullable and its codegen must re-check the result —
+  * `defineCodeGen` would copy `isNull` from the child alone and NPE
+  * downstream (codegen-path spec pins this).
   */
 case class MinShingleDigest(child: Expression) extends UnaryExpression
     with ImplicitCastInputTypes {
@@ -31,12 +36,16 @@ case class MinShingleDigest(child: Expression) extends UnaryExpression
 
   override def dataType: DataType = StringType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any =
     MinShingleDigest.minDigest(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.expressions.MinShingleDigest.minDigest($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MinShingleDigest.minDigest($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): MinShingleDigest =
     copy(child = newChild)

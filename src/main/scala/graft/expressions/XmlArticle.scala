@@ -35,7 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * TextSplitSpec pin the two paths equal.
   *
   * Hand-compiled semantics, matching the XPath data model the twin's
-  * SAX-fed DTM exposes:
+  * SAX-fed DTM exposes (parsing is namespace-UNAWARE like the twin's
+  * `UDFXPathUtil` DocumentBuilder, and name tests match the LOCAL PART —
+  * the qName with any prefix stripped — on both elements and attributes,
+  * which is how Xalan's DTM derives localName over a namespace-unaware
+  * DOM: `<x:item>` IS an `item` even with `x` undeclared, a default
+  * namespace changes nothing, and `x:scope="…"` satisfies `@scope` —
+  * all spec-pinned against the twin; element depth is unbounded, frames
+  * grow):
   *  - `category` = string(`/item/category/@scope`): first `category` child
   *    of the root `item` that carries a `scope` attribute; root element not
   *    named `item` → no match → not an article (after a full parse, like
@@ -101,16 +108,28 @@ object XmlArticle {
     * `not(preceding-sibling::node())`.
     */
   private final class Handler extends DefaultHandler2 {
-    private val MaxDepth = 256
-
-    private val names = new Array[String](MaxDepth)
-    private val pathTag = new Array[Int](MaxDepth)
-    private val inCorpus = new Array[Boolean](MaxDepth)
-    private val excludeLeading = new Array[Boolean](MaxDepth)
-    private val isBodytextP = new Array[Boolean](MaxDepth)
-    private val hasChild = new Array[Boolean](MaxDepth)
-    private val isDeptCapture = new Array[Boolean](MaxDepth)
+    private var cap = 64
+    private var pathTag = new Array[Int](cap)
+    private var inCorpus = new Array[Boolean](cap)
+    private var excludeLeading = new Array[Boolean](cap)
+    private var isBodytextP = new Array[Boolean](cap)
+    private var hasChild = new Array[Boolean](cap)
+    private var isDeptCapture = new Array[Boolean](cap)
     private var depth = 0
+
+    /** Deep documents grow the frame arrays instead of failing — the twin
+      * has no depth limit, so neither may the kernel (parity contract).
+      */
+    private def ensureCap(): Unit = if (depth >= cap) {
+      val nc = cap * 2
+      pathTag = java.util.Arrays.copyOf(pathTag, nc)
+      inCorpus = java.util.Arrays.copyOf(inCorpus, nc)
+      excludeLeading = java.util.Arrays.copyOf(excludeLeading, nc)
+      isBodytextP = java.util.Arrays.copyOf(isBodytextP, nc)
+      hasChild = java.util.Arrays.copyOf(hasChild, nc)
+      isDeptCapture = java.util.Arrays.copyOf(isDeptCapture, nc)
+      cap = nc
+    }
 
     private val run = new java.lang.StringBuilder   // pending text node
     private val body = new java.lang.StringBuilder
@@ -134,10 +153,35 @@ object XmlArticle {
     def bodyText: String = body.toString
     def deptText: String = if (deptDone) dept.toString else ""
 
-    private def name(local: String, qName: String): String =
-      if (local != null && !local.isEmpty) local else qName
+    /** XPath name-test key under the twin's namespace-unaware DTM: the
+      * qName's local part (prefix stripped, declared or not).
+      */
+    private def name(local: String, qName: String): String = {
+      if (local != null && !local.isEmpty) return local
+      val c = qName.lastIndexOf(':')
+      if (c >= 0) qName.substring(c + 1) else qName
+    }
 
-    /** Close the pending text run as one text node of names(depth-1). */
+    /** Attribute lookup by local part, first match in reported order —
+      * `atts.getValue(name)` alone would miss a prefixed `x:scope`.
+      */
+    private def attr(atts: Attributes, name: String): String = {
+      var i = 0
+      val n = atts.getLength
+      while (i < n) {
+        val q = atts.getQName(i)
+        val c = q.lastIndexOf(':')
+        val hit =
+          if (c < 0) q == name
+          else q.length - c - 1 == name.length &&
+            q.regionMatches(c + 1, name, 0, name.length)
+        if (hit) return atts.getValue(i)
+        i += 1
+      }
+      null
+    }
+
+    /** Close the pending text run as one text node of the current element. */
     private def flushText(): Unit = {
       if (run.length() == 0) return
       val p = depth - 1
@@ -158,33 +202,31 @@ object XmlArticle {
       val n = name(local, qName)
       val p = depth - 1
       if (p >= 0) hasChild(p) = true
-      if (depth >= MaxDepth)
-        throw new RuntimeException(s"xml_article: element depth > $MaxDepth")
+      ensureCap()
 
       val tag =
         if (depth == 0) { if (n == "item") 1 else 0 }
         else pathTag(p) match {
-          case 1 if n == "related" && atts.getValue("rel") == "department" => 2
+          case 1 if n == "related" && attr(atts, "rel") == "department" => 2
           case 2 if n == "directory" => 3
           case 3 if n == "meta" => 4
           case _ => 0
         }
-      names(depth) = n
       pathTag(depth) = tag
       inCorpus(depth) = (p >= 0 && inCorpus(p)) ||
         (p >= 0 && pathTag(p) == 1 && n == "corpus")
-      isBodytextP(depth) = n == "p" && atts.getValue("class") == "bodytext"
+      isBodytextP(depth) = n == "p" && attr(atts, "class") == "bodytext"
       excludeLeading(depth) = p >= 0 && isBodytextP(p) &&
-        (n == "location" || (n == "em" && atts.getValue("class") == "source"))
+        (n == "location" || (n == "em" && attr(atts, "class") == "source"))
       hasChild(depth) = false
       isDeptCapture(depth) = false
 
       if (category == null && p >= 0 && pathTag(p) == 1 && n == "category") {
-        val s = atts.getValue("scope")
+        val s = attr(atts, "scope")
         if (s != null) category = s
       }
       if (!deptDone && !deptCollecting && p >= 0 && pathTag(p) == 4 &&
-          n == "id" && atts.getValue("scope") == "url") {
+          n == "id" && attr(atts, "scope") == "url") {
         deptCollecting = true
         isDeptCapture(depth) = true
       }
@@ -231,7 +273,11 @@ object XmlArticle {
     val handler = new Handler
     val reader: XMLReader = {
       val f = SAXParserFactory.newInstance()
-      f.setNamespaceAware(true)
+      // namespace-UNAWARE, like the twin: UDFXPathUtil builds its
+      // DocumentBuilder without setNamespaceAware, so the xpath constants
+      // match raw qNames (`<x:item>` does NOT match `item`) and undeclared
+      // prefixes are not an error — parse the same dialect here
+      f.setNamespaceAware(false)
       f.setValidating(false)
       // the twin's UDFXPathUtil runs under secure processing (no DTD
       // expansion bombs); match it so hostile inputs fail the same way

@@ -66,6 +66,29 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     got.foreach { r => assert(r.get(0) == r.get(1), s"${r.get(0)} != ${r.get(1)}") }
   }
 
+  test("fingerprint kernel codegen path: under-k input is NULL inside a codegen'd projection") {
+    // Seq.toDF inputs become LocalRelations (interpreted, driver-folded),
+    // and co-projecting the CodegenFallback HOF twin kicks the Project out
+    // of whole-stage codegen — so the randomized twin test above never runs
+    // the kernel's GENERATED code. Drive the kernel ALONE off spark.range
+    // (a codegen'd source): an under-k NON-null input must set isNull in
+    // the generated code, not mirror the child's (a defineCodeGen
+    // regression NPEs right here).
+    val texts = Seq("", "one", "one two", "alpha beta gamma delta")
+    val df = spark.range(texts.size)
+      .select(col("id"),
+        element_at(array(texts.map(lit): _*), (col("id") + 1).cast("int")).as("t"))
+      .select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "projection must be whole-stage codegen'd for this test to mean anything")
+    val got = df.collect().sortBy(_.getLong(0)).map(r => Option(r.getString(1)))
+    assert(got.take(3).forall(_.isEmpty), s"under-k docs must be NULL: ${got.toSeq}")
+    val expected = Seq(("alpha beta gamma delta"))
+      .toDF("t").select(TextAnalysis.fingerprintHof(col("t")))
+      .as[String].collect().head
+    assert(got(3).contains(expected))
+  }
+
   test("multimodal: synthesized BMPs decode via javax.imageio to the derived dims") {
     val docs = Seq((1L, "hello world"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
     val got = Multimodal.decodeMeta(spark, Multimodal.withBmpPayload(docs))

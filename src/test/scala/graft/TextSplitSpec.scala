@@ -353,6 +353,39 @@ class TextSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("S5 XmlArticle dialect parity: prefix-stripped name tests, undeclared prefixes, unbounded depth") {
+    import graft.sources.XmlCorpus
+    // The twin's UDFXPathUtil DocumentBuilder is namespace-UNAWARE, and
+    // Xalan's DTM derives localName from the raw qName by stripping any
+    // prefix — declared or not — so `/item` matches `<x:item>` (probed
+    // empirically: all four shapes below return "cms-article" from
+    // xpath_string), `@scope` matches `x:scope`, and undeclared prefixes
+    // are legal (a namespace-aware parser would fatally reject them). The
+    // kernel parses the same dialect with the same prefix-stripped name
+    // tests, and grows its frame arrays so deep documents can't fail where
+    // the twin succeeds.
+    val deep = "<d>" * 600 + "deepest" + "</d>" * 600
+    val dept = """<related rel="department"><directory><meta><id scope="url">dd</id></meta></directory></related>"""
+    val docs = Seq(
+      // prefixed root + children: local parts match → article on BOTH paths
+      (1L, s"""<x:item xmlns:x="u"><x:category scope="cms-article"/><x:corpus><p class="bodytext">b</p></x:corpus>$dept</x:item>"""),
+      // undeclared prefix inside the body: legal in the twin's dialect
+      (2L, s"""<item><category scope="cms-article"/><corpus><p class="bodytext">ok <foo:bar>pfx</foo:bar> tail</p></corpus>$dept</item>"""),
+      // element depth far past any fixed frame budget
+      (3L, s"""<item><category scope="cms-article"/><corpus><p class="bodytext">$deep</p></corpus>$dept</item>"""),
+      // prefixed ATTRIBUTE (undeclared prefix, even): @scope matches it
+      (4L, s"""<item><category foo:scope="cms-article"/><corpus><p class="bodytext">attr</p></corpus>$dept</item>"""),
+      // default namespace: localName == qName, nothing changes
+      (5L, s"""<item xmlns="d"><category scope="cms-article"/><corpus><p class="bodytext">dns</p></corpus>$dept</item>""")
+    ).toDF("doc_id", "xml")
+    val kernel = XmlCorpus.articles(docs).select("doc_id", "department", "content")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val twin = XmlCorpus.articlesXpathTwin(docs).select("doc_id", "department", "content")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(kernel == twin, s"kernel=$kernel twin=$twin")
+    assert(kernel.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("S5 native XmlArticle == twin on real markup: comments/PIs/nesting (raw, pre-cleanup)") {
     import graft.sources.XmlCorpus
     // The synthesis ESCAPES text, so the randomized parity test above can
