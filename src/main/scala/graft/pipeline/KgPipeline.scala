@@ -136,14 +136,18 @@ object KgPipeline {
     val resolved =
       if (canonicalize) {
         // The links lineage is deliberately RECOMPUTED for the two canon
-        // consumers (the co-occurrence graph and the join-back) instead
-        // of checkpointed: a localCheckpoint of the narrow link
-        // projection read ~15% faster on a clean first run, but repeated
-        // invocations in one session accumulate checkpoint blocks until
-        // the ContextCleaner catches up — measured GC time exploded to
-        // 1.7-2.4 s/run and worst-case wall time 3× the recompute path
-        // (BENCH.md §25). Same §15 verdict from the dedup pipeline:
-        // recompute narrow lineage, don't pin intermediates.
+        // consumers (the co-occurrence graph and the join-back). TWO
+        // measured negatives pin this shape: (1) a localCheckpoint of the
+        // narrow link projection accumulated checkpoint blocks across
+        // repeated calls until GC exploded (BENCH.md §25); (2) a
+        // dedup-first restructure — distinct the narrow pre-canon relation
+        // once, persist it bounded-swap, build the canon map from it,
+        // re-distinct after the merge join — read ~30% SLOWER with 5× the
+        // shuffle bytes and +35% executor runTime, listener-verified
+        // (BENCH.md §33): the columnar cache build plus the extra
+        // exchanges cost more than the tag pass they save, because the
+        // merged-literal tag scan is cheap per byte. Recompute narrow
+        // lineage, don't pin intermediates.
         val cm = canonMap(spark, linked)
         linked.join(broadcast(cm), Seq("entity_id"), "left")
           .withColumn("obj", coalesce(col("canon_id"), col("entity_id")))
