@@ -37,12 +37,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hand-compiled semantics, matching the XPath data model the twin's
   * SAX-fed DTM exposes (parsing is namespace-UNAWARE like the twin's
   * `UDFXPathUtil` DocumentBuilder, and name tests match the LOCAL PART —
-  * the qName with any prefix stripped — on both elements and attributes,
-  * which is how Xalan's DTM derives localName over a namespace-unaware
-  * DOM: `<x:item>` IS an `item` even with `x` undeclared, a default
-  * namespace changes nothing, and `x:scope="…"` satisfies `@scope` —
-  * all spec-pinned against the twin; element depth is unbounded, frames
-  * grow):
+  * the qName with everything up to the FIRST colon stripped — on both
+  * elements and attributes, which is how Xalan's DTM derives localName
+  * over a namespace-unaware DOM (all probed empirically and spec-pinned
+  * against the twin): `<x:item>` IS an `item` even with `x` undeclared, a
+  * default namespace changes nothing, `x:scope="…"` satisfies `@scope`,
+  * multi-colon names strip only the first segment (`<a:b:item>` is
+  * `b:item`, NOT `item`), and `xmlns`/`xmlns:*` attributes are namespace
+  * nodes that attribute tests never match; element depth is unbounded,
+  * frames grow):
   *  - `category` = string(`/item/category/@scope`): first `category` child
   *    of the root `item` that carries a `scope` attribute; root element not
   *    named `item` → no match → not an article (after a full parse, like
@@ -154,26 +157,32 @@ object XmlArticle {
     def deptText: String = if (deptDone) dept.toString else ""
 
     /** XPath name-test key under the twin's namespace-unaware DTM: the
-      * qName's local part (prefix stripped, declared or not).
+      * qName with everything up to the FIRST colon stripped — Xalan's
+      * DOM2DTM localName derivation, probed: `a:b:item` is `b:item` to the
+      * twin (first colon), NOT `item` (last colon).
       */
     private def name(local: String, qName: String): String = {
       if (local != null && !local.isEmpty) return local
-      val c = qName.lastIndexOf(':')
+      val c = qName.indexOf(':')
       if (c >= 0) qName.substring(c + 1) else qName
     }
 
-    /** Attribute lookup by local part, first match in reported order —
-      * `atts.getValue(name)` alone would miss a prefixed `x:scope`.
+    /** Attribute lookup by the same first-colon local part, first match in
+      * reported order — `atts.getValue(name)` alone would miss a prefixed
+      * `x:scope`. `xmlns:*` declarations are EXCLUDED: Xalan classifies
+      * them as namespace nodes that `@name` never matches (probed:
+      * `xmlns:scope="…"` yields '' from the twin's `@scope`).
       */
     private def attr(atts: Attributes, name: String): String = {
       var i = 0
       val n = atts.getLength
       while (i < n) {
         val q = atts.getQName(i)
-        val c = q.lastIndexOf(':')
+        val c = q.indexOf(':')
         val hit =
           if (c < 0) q == name
-          else q.length - c - 1 == name.length &&
+          else !q.startsWith("xmlns:") &&
+            q.length - c - 1 == name.length &&
             q.regionMatches(c + 1, name, 0, name.length)
         if (hit) return atts.getValue(i)
         i += 1

@@ -79,8 +79,13 @@ class AnalysisStreamingSpec extends AnyFunSuite {
       .select(col("id"),
         element_at(array(texts.map(lit): _*), (col("id") + 1).cast("int")).as("t"))
       .select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))
-    assert(df.queryExecution.executedPlan.toString.contains("*("),
-      "projection must be whole-stage codegen'd for this test to mean anything")
+    // the *( prefix must be on the kernel's OWN Project line — spark.range
+    // is always codegen'd, so a plan-wide contains("*(") would stay green
+    // even if the fingerprint projection fell back to interpreted eval
+    val kernelLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("min_shingle_digest"))
+    assert(kernelLine.exists(_.trim.startsWith("*(")),
+      s"kernel projection must be whole-stage codegen'd, got: $kernelLine")
     val got = df.collect().sortBy(_.getLong(0)).map(r => Option(r.getString(1)))
     assert(got.take(3).forall(_.isEmpty), s"under-k docs must be NULL: ${got.toSeq}")
     val expected = Seq(("alpha beta gamma delta"))

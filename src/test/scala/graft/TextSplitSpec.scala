@@ -376,7 +376,15 @@ class TextSplitSpec extends AnyFunSuite {
       // prefixed ATTRIBUTE (undeclared prefix, even): @scope matches it
       (4L, s"""<item><category foo:scope="cms-article"/><corpus><p class="bodytext">attr</p></corpus>$dept</item>"""),
       // default namespace: localName == qName, nothing changes
-      (5L, s"""<item xmlns="d"><category scope="cms-article"/><corpus><p class="bodytext">dns</p></corpus>$dept</item>""")
+      (5L, s"""<item xmlns="d"><category scope="cms-article"/><corpus><p class="bodytext">dns</p></corpus>$dept</item>"""),
+      // xmlns:* is a NAMESPACE node, not an attribute — @scope must NOT
+      // match it (probed: twin yields '') → not an article on either path
+      (6L, s"""<item><category xmlns:scope="cms-article"/><corpus><p class="bodytext">ns</p></corpus>$dept</item>"""),
+      // multi-colon name: localName strips at the FIRST colon (a:b:item →
+      // b:item, probed), so the root is NOT an item → dropped on both
+      (7L, s"""<a:b:item><category scope="cms-article"/><corpus><p class="bodytext">mc</p></corpus>$dept</a:b:item>"""),
+      // multi-colon ATTRIBUTE local part is b:scope → @scope no match
+      (8L, s"""<item><category a:b:scope="cms-article"/><corpus><p class="bodytext">mca</p></corpus>$dept</item>""")
     ).toDF("doc_id", "xml")
     val kernel = XmlCorpus.articles(docs).select("doc_id", "department", "content")
       .as[(Long, String, String)].collect().sortBy(_._1).toSeq
