@@ -175,6 +175,42 @@ class DedupSimSpec extends AnyFunSuite {
     assert(nullArr.getSeq[String](2) == nullArr.getSeq[String](3))
   }
 
+  test("MinHash-family codegen path == interpreted (kernels alone off spark.range)") {
+    // LocalRelation inputs evaluate interpreted (driver-folded) and a
+    // co-projected HOF twin is CodegenFallback, so the randomized parity
+    // test above never runs the kernels' GENERATED code. Drive the three
+    // kernels ALONE off spark.range — a codegen'd source — and compare
+    // against the interpreted results of identical inputs (same discipline
+    // as the fingerprint codegen spec in AnalysisStreamingSpec).
+    import graft.expressions.MinShingleDigest
+    val texts = Seq("", "one", "one two", "the cat sat on the mat",
+      "naïve δοκιμή 多字节 tokens here", "a b c d e f g h")
+    def kernels(toks: org.apache.spark.sql.Column) = Seq(
+      Dedup.minhashes(toks).as("mh"),
+      Dedup.shinglesNative(toks).as("sh"),
+      MinShingleDigest.min_shingle_digest(toks).as("fp"))
+    val df = spark.range(texts.size)
+      .select(col("id"), split(
+        element_at(array(texts.map(lit): _*), (col("id") + 1).cast("int")),
+        " ").as("toks"))
+      .select(col("id") +: kernels(col("toks")): _*)
+    val kernelLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("min_hashes"))
+    assert(kernelLine.exists(_.trim.startsWith("*(")),
+      s"kernel projection must be whole-stage codegen'd, got: $kernelLine")
+    val got = df.collect().sortBy(_.getLong(0))
+    val expected = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), split(col("t"), " ").as("toks"))
+      .select(col("id") +: kernels(col("toks")): _*)
+      .collect().sortBy(_.getLong(0))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g.getSeq[String](1) == e.getSeq[String](1), "minhashes")
+      assert(g.getSeq[String](2) == e.getSeq[String](2), "shingles")
+      assert(g.getString(3) == e.getString(3), "fingerprint digest")
+    }
+  }
+
   test("ANN: brute-force top-k matches local computation on sf0.001") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 3)
