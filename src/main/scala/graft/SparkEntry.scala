@@ -1187,7 +1187,47 @@ object SparkEntry {
           col("event_type"), col("n"))
         .orderBy("ws", "event_type"),
       Some("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, " +
-        "event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY ws, event_type"))
+        "event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY ws, event_type")),
+
+    // ---- streaming horizon gate: the BOUNDED-state running-totals variant
+    // (flatMapGroupsWithState + EventTimeTimeout) run for real over a
+    // finite replay of the events table, one micro-batch per UTC day. The
+    // DuckDB twin predicts the post-eviction totals from the same
+    // watermark/timeout arithmetic (probed, not assumed — HorizonProbe /
+    // AnalysisStreamingSpec): watermark before a day's batch = floor-ms
+    // max event time of all prior days minus the delay; a key whose
+    // (last event + horizon) is STRICTLY below that watermark is evicted
+    // in a no-data batch before its next event, restarting its totals.
+    // Values are floor(value*2^20)-quantized (the ann_ivf_trained trick)
+    // so the in-batch double fold is order-independent and exact. At
+    // sf0.01 the fixture yields ~400 evictions-with-re-arrival (measured)
+    // — the eviction path is exercised, not vacuously green.
+    QuerySpec("stream_horizon",
+      (s, dir) => graft.streaming.EventStream.replayDailyHorizon(s,
+          Tables.events(s, dir).select(col("user_id"),
+            floor(col("value") * lit(1048576.0)).as("value"), col("ts")))
+        .orderBy("user_id"),
+      Some {
+        val hz = graft.streaming.EventStream.gateHorizonMs
+        val dl = graft.streaming.EventStream.gateDelayMs
+        s"""WITH ev AS (SELECT user_id, CAST(floor(value * 1048576.0) AS BIGINT) AS q,
+          |    epoch_ms(ts) AS ms, date_trunc('day', ts) AS b FROM events),
+          |mx AS (SELECT b, max(ms) AS bmax FROM ev GROUP BY b),
+          |wm AS (SELECT b, max(bmax) OVER (ORDER BY b
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $dl AS wmb FROM mx),
+          |ue AS (SELECT user_id, q, ms, b,
+          |    lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS pms,
+          |    lag(b) OVER (PARTITION BY user_id ORDER BY ms) AS pb FROM ev),
+          |fl AS (SELECT ue.*, CASE WHEN pms IS NOT NULL AND pb < ue.b
+          |    AND wm.wmb > pms + $hz THEN 1 ELSE 0 END AS rst
+          |  FROM ue JOIN wm ON wm.b = ue.b),
+          |sess AS (SELECT *, sum(rst) OVER (PARTITION BY user_id ORDER BY ms
+          |    ROWS UNBOUNDED PRECEDING) AS sid FROM fl),
+          |last AS (SELECT user_id, max(sid) AS msid FROM sess GROUP BY user_id)
+          |SELECT s.user_id, count(*) AS n_events, sum(s.q) AS total_q
+          |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.sid = l.msid
+          |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -2,7 +2,6 @@ package graft.expressions
 
 import java.io.StringReader
 
-import javax.xml.XMLConstants
 import javax.xml.parsers.SAXParserFactory
 
 import org.xml.sax.{Attributes, InputSource, XMLReader}
@@ -288,9 +287,16 @@ object XmlArticle {
       // prefixes are not an error — parse the same dialect here
       f.setNamespaceAware(false)
       f.setValidating(false)
-      // the twin's UDFXPathUtil runs under secure processing (no DTD
-      // expansion bombs); match it so hostile inputs fail the same way
-      f.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
+      // EXACTLY the twin's entity hardening, no more: UDFXPathUtil sets
+      // only these two features (external general/parameter entities off —
+      // an external entity reference is SKIPPED, not fetched), NOT
+      // FEATURE_SECURE_PROCESSING. An earlier FSP-based cut diverged:
+      // JAXP's secure processing denies external DTD access outright, so a
+      // DTD-carrying document that the twin parses (entity silently empty)
+      // THREW here — spec-pinned ("external general entity") against the
+      // twin, probed not assumed.
+      f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
       val r = f.newSAXParser().getXMLReader
       r.setContentHandler(handler)
       r.setErrorHandler(handler)

@@ -129,6 +129,92 @@ object EventStream {
     * watermark) counts everything. Size `watermarkDelay` to the source's
     * real disorder; within-delay late events are counted (spec-pinned).
     */
+  /** Constants of the `stream_horizon` driver gate — single source of truth
+    * for [[replayDailyHorizon]]'s Spark run AND the DuckDB twin arithmetic
+    * in SparkEntry (change one, both sides move).
+    */
+  val gateHorizon = "1 day"
+  val gateHorizonMs: Long = 86400000L
+  val gateDelay = "10 minutes"
+  val gateDelayMs: Long = 600000L
+
+  /** Finite replay of a bounded (user_id, value, ts) relation through
+    * [[runningPerUserWithHorizon]] — the `stream_horizon` driver gate: one
+    * micro-batch per UTC day in event-time order, so the watermark advances
+    * deterministically and EventTimeTimeout evictions fire exactly where
+    * the oracle's arithmetic predicts. Returns the LAST emitted totals per
+    * user (update mode; an eviction emits nothing, so an evicted-and-
+    * re-arrived key shows its restarted session — the semantics the gate
+    * exists to pin cross-engine).
+    *
+    * Probed semantics the twin replicates (graft.tools.HorizonProbe; each
+    * pinned in AnalysisStreamingSpec):
+    *  - after a data batch advances the watermark, a NO-DATA batch runs and
+    *    processes expired timeouts — so a key is evicted BEFORE its next
+    *    data batch even when that batch carries its re-arrival;
+    *  - a timeout fires on `timeout < watermark` (STRICT; equality
+    *    survives);
+    *  - the watermark is computed on FLOOR-millisecond event times (micros
+    *    truncated — `java.sql.Timestamp.getTime` agrees).
+    * Under day buckets fed in order no event is ever behind the watermark
+    * (bucket floor > previous buckets' max - delay), so the lateness
+    * divergence documented on [[runningPerUserWithHorizon]] never triggers.
+    *
+    * Driver boundedness: the replay collects the event relation to feed
+    * `MemoryStream` (feeding is inherently driver-side) — callers pass
+    * fixture-scale relations; production pipelines run the streaming
+    * function itself, not this replay harness.
+    *
+    * Cross-engine exactness contract: callers pass an INTEGER-VALUED
+    * `value` column (the gate quantizes with floor(value * 2^20) first) —
+    * integer-valued double sums are order-independent, so the per-batch
+    * iterator order inside flatMapGroupsWithState cannot move the total,
+    * and `total_q`'s toLong is exact.
+    */
+  def replayDailyHorizon(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val collected = events
+      .select(col("user_id").cast("long"), col("value").cast("double"),
+        col("ts").cast("timestamp"),
+        date_trunc("day", col("ts").cast("timestamp")).as("bucket"))
+      .orderBy("bucket", "ts")
+      .collect()
+    val buckets = collected.groupBy(_.getTimestamp(3)).toSeq.sortBy(_._1.getTime)
+      .map(_._2.toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2))))
+    val ms = MemoryStream[(Long, Double, java.sql.Timestamp)]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    val chk = java.nio.file.Files.createTempDirectory("stream-horizon-chk")
+    val q = runningPerUserWithHorizon(spark,
+        ms.toDF().toDF("user_id", "value", "ts"),
+        horizon = gateHorizon, watermarkDelay = gateDelay)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", chk.toString)
+      .foreachBatch { (batch: Dataset[UserRunning], bid: Long) =>
+        val rows = batch.collect()
+        buf.synchronized {
+          rows.foreach(r => buf += ((bid, r.user_id, r.n_events, r.total_value)))
+        }
+        ()
+      }
+      .start()
+    try buckets.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally {
+      q.stop()
+      // best-effort temp checkpoint cleanup
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(chk.toFile)
+    }
+    val last = buf.synchronized {
+      buf.groupBy(_._2).map { case (_, rs) => rs.maxBy(_._1) }.toSeq
+    }
+    last.map(r => (r._2, r._3, r._4.toLong))
+      .toDF("user_id", "n_events", "total_q")
+  }
+
   def runningPerUserWithHorizon(spark: SparkSession, events: DataFrame,
       horizon: String = "1 hour",
       watermarkDelay: String = "10 minutes"): Dataset[UserRunning] = {

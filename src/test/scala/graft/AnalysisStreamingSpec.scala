@@ -422,6 +422,97 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == 2L).map(_._2).sorted == Seq(1L, 2L, 3L))
   }
 
+  // --- probed timeout semantics the stream_horizon oracle twin replicates
+  // (graft.tools.HorizonProbe; these pin them against Spark upgrades) -----
+
+  private def runHorizonBatches(name: String,
+      batches: Seq[Seq[(Long, Double, String)]]): Seq[(Long, Long, Double)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double, String)]
+    val q = EventStream.runningPerUserWithHorizon(spark,
+        ms.toDF().toDF("user_id", "value", "ts"),
+        horizon = "1 hour", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[(Long, Long, Double)].collect().toSeq
+  }
+
+  test("streaming: horizon timeout fires in a NO-DATA batch before the key's next data batch") {
+    // A@05:10 (timeout 06:10), B@06:50 -> watermark 06:40 > 06:10. A
+    // re-arrives at 07:05 WITH data in the first batch after the watermark
+    // advance: if timeouts only ran in data batches, A's own data would
+    // suppress the eviction (hasTimedOut is false for keys with data) and
+    // its totals would CONTINUE (n=2). Probed: an empty batch runs after
+    // the watermark advances and evicts A first -> restart (n=1). The
+    // stream_horizon twin's "watermark before the bucket" arithmetic
+    // depends on exactly this.
+    val rows = runHorizonBatches("horizon_empty_batch", Seq(
+      Seq((1L, 1.0, "2024-01-01 05:10:00")),
+      Seq((2L, 1.0, "2024-01-01 06:50:00")),
+      Seq((1L, 1.0, "2024-01-01 07:05:00"))))
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted == Seq(1L, 1L),
+      s"expected eviction in the no-data batch (restart at n=1), got $rows")
+  }
+
+  test("streaming: horizon timeout is STRICT (timeout == watermark survives)") {
+    // A@05:00:00.000 -> timeout 06:00:00.000; B@06:10:00.000 -> watermark
+    // EXACTLY 06:00:00.000. Strict `timeout < watermark` means A's state
+    // survives and its 06:05 re-arrival CONTINUES (n=2). The twin's
+    // `wmb > pms + horizon` comparison mirrors the polarity.
+    val rows = runHorizonBatches("horizon_strict", Seq(
+      Seq((1L, 1.0, "2024-01-01 05:00:00")),
+      Seq((2L, 1.0, "2024-01-01 06:10:00")),
+      Seq((1L, 1.0, "2024-01-01 06:05:00"))))
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted == Seq(1L, 2L),
+      s"expected equality to survive (strict timeout), got $rows")
+  }
+
+  test("streaming: horizon watermark floors event time to milliseconds") {
+    // same shape, but B carries 999 MICROseconds: if the watermark kept
+    // micros it would read 06:00:00.000999 > A's 06:00:00.000 timeout and
+    // strictly fire. Probed: Spark floors event times to millis
+    // (EventTimeStats accumulates micros/1000), so the watermark stays at
+    // 06:00:00.000 and A survives — `java.sql.Timestamp.getTime` (the
+    // state's maxTs) and the twin's epoch_ms() floor the same way.
+    val rows = runHorizonBatches("horizon_floor_ms", Seq(
+      Seq((1L, 1.0, "2024-01-01 05:00:00")),
+      Seq((2L, 1.0, "2024-01-01 06:10:00.000999")),
+      Seq((1L, 1.0, "2024-01-01 06:05:00"))))
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted == Seq(1L, 2L),
+      s"expected floor-millis watermark (A survives), got $rows")
+  }
+
+  test("streaming: replayDailyHorizon matches the twin arithmetic on a crafted eviction") {
+    // end-to-end through the gate harness itself: user 1 active on day 1,
+    // silent day 2 (other traffic advances the watermark past 1d+10m),
+    // re-arrives day 3 -> last session = the day-3 event only. User 2
+    // stays within the horizon -> totals accumulate. Values are integer-
+    // valued (the gate's quantization contract).
+    val ev = Seq(
+      (1L, 3.0, "2024-01-01 10:00:00"),
+      (2L, 5.0, "2024-01-01 11:00:00"),
+      (2L, 7.0, "2024-01-02 11:30:00"), // within 1d horizon of 01-01 11:00? evicted iff wm > prev+1d
+      (9L, 1.0, "2024-01-02 23:50:00"),
+      (1L, 11.0, "2024-01-03 09:00:00"),
+      (2L, 13.0, "2024-01-03 10:00:00"),
+      (9L, 1.0, "2024-01-03 23:50:00"))
+      .toDF("user_id", "value", "ts")
+      .select(col("user_id"), col("value"), col("ts").cast("timestamp"))
+    val got = EventStream.replayDailyHorizon(spark, ev)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // user 1: day-2 wm before day 3 = 02 23:50 - 10m = 02 23:40 > 01 10:00
+    // + 1d -> evicted; day-3 session = (1 event, 11)
+    assert(got(1L) == ((1L, 11L)))
+    // user 2: wm before day 2 = 01 11:00 - 10m = 01 10:50, prev 01 11:00 +
+    // 1d = 02 11:00 > wm -> survives; wm before day 3 = 02 23:40 < 02
+    // 11:30 + 1d = 03 11:30 -> survives -> (3 events, 25)
+    assert(got(2L) == ((3L, 25L)))
+  }
+
   test("streaming: horizon running totals — cross-batch late event within the watermark delay is counted") {
     // the lateness contract of runningPerUserWithHorizon: events later than
     // the stream max but WITHIN watermarkDelay still reach the function

@@ -394,6 +394,39 @@ class TextSplitSpec extends AnyFunSuite {
     assert(kernel.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("S5 XmlArticle entity hardening parity: external general entity skipped, not fatal") {
+    import graft.sources.XmlCorpus
+    // The twin's UDFXPathUtil hardens EXACTLY two SAX features
+    // (external-general-entities / external-parameter-entities = false) —
+    // NOT FEATURE_SECURE_PROCESSING, which denies external DTD/entity
+    // access with a FATAL error. A DTD-carrying document referencing an
+    // external general entity must therefore parse on both paths with the
+    // entity silently skipped (never fetched — the SYSTEM id below does
+    // not exist and must not matter); an earlier FSP-based kernel build
+    // threw here where the twin extracted text (r5 ADVICE, fixed).
+    val dept = """<related rel="department"><directory><meta><id scope="url">dd</id></meta></directory></related>"""
+    val docs = Seq(
+      // external general entity: declared, referenced, never fetched
+      (1L, "<!DOCTYPE item [<!ENTITY ext SYSTEM \"file:///graft-nonexistent-entity\">]>" +
+        s"""<item><category scope="cms-article"/><corpus><p class="bodytext">pre &ext; post</p></corpus>$dept</item>"""),
+      // internal parsed entity: expands on both paths, coalesces with
+      // adjacent text (entity expansion is not a text-node boundary)
+      (2L, "<!DOCTYPE item [<!ENTITY inl \"INLINE\">]>" +
+        s"""<item><category scope="cms-article"/><corpus><p class="bodytext">pre &inl; post</p></corpus>$dept</item>"""),
+      // external entity reference in the dateline .text slot: the skip
+      // must not disturb the leading-text exclusion bookkeeping
+      (3L, "<!DOCTYPE item [<!ENTITY ext SYSTEM \"file:///graft-nonexistent-entity\">]>" +
+        s"""<item><category scope="cms-article"/><corpus><p class="bodytext"><location>Berlin &ext;</location>body text</p></corpus>$dept</item>""")
+    ).toDF("doc_id", "xml")
+    val kernel = XmlCorpus.articles(docs).select("doc_id", "department", "content")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val twin = XmlCorpus.articlesXpathTwin(docs).select("doc_id", "department", "content")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(kernel == twin, s"kernel=$kernel twin=$twin")
+    assert(kernel.map(_._1) == Seq(1L, 2L, 3L))
+    assert(kernel.find(_._1 == 2L).get._3.contains("INLINE"))
+  }
+
   test("S5 native XmlArticle == twin on real markup: comments/PIs/nesting (raw, pre-cleanup)") {
     import graft.sources.XmlCorpus
     // The synthesis ESCAPES text, so the randomized parity test above can

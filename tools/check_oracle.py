@@ -19,6 +19,15 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 dumped = None
 if os.path.exists(f"{out_dir}/dumped.json"):
     dumped = set(json.load(open(f"{out_dir}/dumped.json")))
+elif "--only-existing" not in sys.argv:
+    # Verify deletes the manifest up-front and writes it only on completion,
+    # so in full-gate mode a missing manifest means the dump run CRASHED
+    # mid-loop — every on-disk dir is a stale leftover and must not read as
+    # a pass. (--only-existing keeps the None fallback for subset checks
+    # over pre-manifest output.)
+    print("FAIL: no dumped.json manifest — the Verify run crashed before "
+          "completing; nothing on disk is provably fresh")
+    sys.exit(1)
 
 def norm(v):
     if v is None:
