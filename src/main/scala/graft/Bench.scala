@@ -105,6 +105,18 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** 1-minute load average from /proc/loadavg — the contention signal
+    * published per separated window so the gating JSON self-describes its
+    * regime (this box's co-tenants intermittently double multi-thread
+    * times; BASELINE.md's narrative should not be required to tell a
+    * contended run from a regression). -1 when unreadable.
+    */
+  private def loadavg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -149,6 +161,8 @@ object Bench {
     var triples = 0L
     val timesByLevel = scala.collection.mutable.Map.empty[Int, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    val loadsByLevel = scala.collection.mutable.Map.empty[Int, Vector[Double]]
+      .withDefaultValue(Vector.empty)
     // THREE separated passes: with two, a level whose both windows land on
     // co-tenant contention (it intermittently doubles multi-thread times
     // while leaving 2-thread runs near-untouched) skews the best-of ratio
@@ -169,6 +183,7 @@ object Bench {
           // per pass, halving its best-of samples against the intermittent
           // co-tenant contention the protocol exists to dodge.
           val reps = math.max(2, rounds - 1)
+          loadsByLevel(n) :+= loadavg()
           timesByLevel(n) ++= (1 to reps).map(_ => time(headline(s, sfDir, scaleRepl))._2)
         } finally s.stop()
       }
@@ -225,21 +240,27 @@ object Bench {
     val (triplesCanon, _) = time(headlineCanon(spark, sfDir, scaleRepl))
     val canonTimes = scala.collection.mutable.ArrayBuffer[Double]()
     val headTimes = scala.collection.mutable.ArrayBuffer[Double]()
+    // one loadavg sample per separated window (taken as the window opens,
+    // covering both the canon and head sample it contains)
+    val windowLoads = scala.collection.mutable.ArrayBuffer[Double]()
     def sampleHead(): Unit = {
       val (tr, t) = time(headline(spark, sfDir, scaleRepl))
       require(tr == triples,
         "headline samples must produce the scaling runs' triple count")
       headTimes += t
     }
+    windowLoads += loadavg()
     canonTimes += time(headlineCanon(spark, sfDir, scaleRepl))._2
     sampleHead()
     val (results, queryErrors) =
       runQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+    windowLoads += loadavg()
     canonTimes += time(headlineCanon(spark, sfDir, scaleRepl))._2
     sampleHead()
     val (triplesSingle, tTriples) = time(
       KgPipeline.triples(spark, Tables.docsDf(spark, sfDir),
         sentenceLevel = true).count())
+    windowLoads += loadavg()
     canonTimes += time(headlineCanon(spark, sfDir, scaleRepl))._2
     sampleHead()
     val tputCanon = triplesCanon / canonTimes.min
@@ -248,7 +269,14 @@ object Bench {
     val tputHead = triples / (timesByLevel(cpus) ++ headTimes).min
     spark.stop()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Per-query times at 3 decimals: the driver's artifact keeps only the
+    // last ~2000 stdout chars, and full-precision doubles pushed the final
+    // JSON line past that for three rounds (BENCH_r03-r05 shipped
+    // parsed:null with whole query families cut off). The raw per-pass
+    // sample arrays and the stop-rule text move to the SEPARATE detail
+    // line below for the same reason — the final line must stay well under
+    // the capture window, complete and parseable.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errsJson = queryErrors.toSeq.sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
@@ -257,19 +285,30 @@ object Bench {
     val rawTimes = levels.map { n =>
       s""""$n":[${timesByLevel(n).map(t => f"$t%.2f").mkString(",")}]"""
     }.mkString("{", ",", "}")
+    val rawLoads = levels.map { n =>
+      s""""$n":[${loadsByLevel(n).map(l => f"$l%.1f").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    // full-fidelity detail line (raw per-pass samples, per-level loadavg at
+    // each pass, stop rule) — logged BEFORE the machine-read line so the
+    // tail capture always ends with the complete summary JSON
+    println(s"""{"detail":"scaling","times_sec":$rawTimes,""" +
+      s""""loadavg_1m":$rawLoads,""" +
+      s""""stop_rule":"min-pass $passes, then stop after the first pass that improves no level's min by >${(stableTol * 100).toInt}% (metric-independent; cap $maxPasses)"}""")
     val scaling =
       s"""{"cpus_n":$lowCpus,"cpus_4n":$midCpus,"cpus_max":$cpus,""" +
         s""""replication":$scaleRepl,"triples":$triples,""" +
         s""""passes_ran":$passesRan,""" +
-        s""""stop_rule":"min-pass $passes, then stop after the first pass that improves no level's min by >${(stableTol * 100).toInt}% (metric-independent; cap $maxPasses)",""" +
         s""""tput_n":${f"$tputLow%.1f"},"tput_4n":${f"$tputMid%.1f"},""" +
         s""""tput_max":${f"$tputHigh%.1f"},""" +
         s""""efficiency_n_4n":${f"$efficiency%.3f"},""" +
-        s""""efficiency_4n_max":${f"$efficiencyHigh%.3f"},""" +
-        s""""times_sec":$rawTimes}"""
+        s""""efficiency_4n_max":${f"$efficiencyHigh%.3f"}}"""
     // total_valid: false when ANY query errored — the partial sum would
-    // otherwise read as a (faster) full sweep
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // otherwise read as a (faster) full sweep. window_load_1m: one
+    // /proc/loadavg sample per separated head/canon window — a window
+    // whose load reads far above the session's own thread count marks a
+    // co-tenant contention burst (the regime disclosure the r5 verdict
+    // asked to move from BASELINE.md prose into the artifact).
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,""" +
       s""""errors":$errsJson,"errors_count":${queryErrors.size},""" +
       s""""total_valid":${queryErrors.isEmpty},""" +
       s""""sf":"$sfDir","triples_per_sec":${f"$tputHead%.1f"},""" +
@@ -277,7 +316,8 @@ object Bench {
       s""""triples_canon":$triplesCanon,""" +
       s""""head_times_sec":[${headTimes.map(t => f"$t%.2f").mkString(",")}],""" +
       s""""canon_times_sec":[${canonTimes.map(t => f"$t%.2f").mkString(",")}],""" +
-      s""""triples_sf":$triplesSingle,"triples_sf_sec":$tTriples,""" +
+      s""""window_load_1m":[${windowLoads.map(l => f"$l%.1f").mkString(",")}],""" +
+      s""""triples_sf":$triplesSingle,"triples_sf_sec":${f"$tTriples%.2f"},""" +
       s""""scaling":$scaling}""")
   }
 }

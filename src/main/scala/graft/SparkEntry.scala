@@ -50,6 +50,32 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"),
         Text.cleanup(col("text")).as("cleaned"))
 
+  // Hot-band fixture for the LSH cap gates (dedup_overflow /
+  // dedup_lsh_capped): the cleaned corpus plus `hotBandCopies`
+  // byte-identical copies of doc 1's cleaned text under fresh doc ids —
+  // identical text gives identical MinHash minima, so the copies share all
+  // four band keys and push each band past the PRODUCTION cap
+  // (Dedup.maxBucket = 64). This is the boilerplate-duplication regime the
+  // cap exists for, synthesized deterministically at fixture scale.
+  private val hotBandCopies = Dedup.maxBucket + 6
+  private val hotBandIdBase = 1000000L
+
+  private def hotBandCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = cleanedDocs(s, dir).select("doc_id", "cleaned")
+    val boiler = base.filter(col("doc_id") === 1)
+      .select(explode(sequence(lit(0L), lit(hotBandCopies - 1L))).as("r"),
+        col("cleaned"))
+      .select((col("r") + hotBandIdBase).as("doc_id"), col("cleaned"))
+    base.unionByName(boiler)
+  }
+
+  private def hotBandRel: String =
+    s"""(SELECT doc_id, cleaned FROM $cleanedRel c0
+      |  UNION ALL
+      |  SELECT $hotBandIdBase + t.r AS doc_id, b.cleaned
+      |  FROM (SELECT cleaned FROM $cleanedRel cb WHERE doc_id = 1) b,
+      |       range(0, $hotBandCopies) t(r))""".stripMargin
+
   // Spark-side tagged mentions (doc_id, lang, label, confidence, mention)
   private def taggedMentions(s: SparkSession, dir: String): DataFrame =
     Tagger.tagMentions(
@@ -647,24 +673,51 @@ object SparkEntry {
     // pair expansion ("never silently": at pretraining scale the capped-out
     // boilerplate bands are exactly what an operator needs to see). The
     // driver fixture has no band hotter than the production cap (64), so
-    // the gate runs the same surfacing relation at Dedup.overflowGateCap=1:
-    // every band shared by ≥2 docs overflows, and the DuckDB twin (the
-    // lsh_pairs QUALIFY inverted) checks the band keys and counts exactly.
+    // the gate synthesizes the boilerplate-duplication regime IN the query:
+    // 70 byte-identical copies of doc 1's cleaned text (the reference
+    // analogue is its cache's hot-sentence skew, README.md:84-98) share all
+    // four MinHash bands, pushing each past maxBucket = 64 — the SAME cap
+    // the production pair expansion enforces, no gate-only cap constant.
+    // The DuckDB twin replays the synthesis and the QUALIFY inversion.
     QuerySpec("dedup_overflow",
       (s, dir) => {
-        val sh = Dedup.withMinHashes(cleanedDocs(s, dir), "cleaned")
+        val sh = Dedup.withMinHashes(hotBandCorpus(s, dir), "cleaned")
         val bands = sh.select(col("doc_id"),
           explode(Dedup.bandKeysFromMinhashes(col("mh"))).as("band"))
-        Dedup.lshOverflowBands(bands, maxBucketSize = Dedup.overflowGateCap)
-          .orderBy("band")
+        Dedup.lshOverflowBands(bands).orderBy("band")
       },
       Some {
         val sh = Dedup.shinglesSqlDuck("string_split(cleaned, ' ')")
         val keys = Dedup.bandKeysSqlDuck("sh").mkString("[", ", ", "]")
-        s"""WITH s AS (SELECT doc_id, $sh AS sh FROM $cleanedRel c),
+        s"""WITH s AS (SELECT doc_id, $sh AS sh FROM $hotBandRel c),
           |bands AS (SELECT doc_id, unnest($keys) AS band FROM s)
           |SELECT band, count(*) AS n FROM bands GROUP BY band
-          |HAVING count(*) > ${Dedup.overflowGateCap} ORDER BY band""".stripMargin
+          |HAVING count(*) > ${Dedup.maxBucket} ORDER BY band""".stripMargin
+      }),
+
+    // ---- dedup: LSH pair expansion WITH the production cap biting — the
+    // same hot-band corpus through lshCandidatePairs at maxBucket = 64.
+    // Doc 1 and its 70 boilerplate copies share all four bands, so every
+    // one of their buckets is hot and contributes NOTHING: the gate pins
+    // that the cap excludes exactly the boilerplate group's pairs (doc 1's
+    // former candidates vanish) while every under-cap pair survives
+    // untouched. The twin is the lsh_pairs QUALIFY over the same corpus.
+    QuerySpec("dedup_lsh_capped",
+      (s, dir) => {
+        val sh = Dedup.withMinHashes(hotBandCorpus(s, dir), "cleaned")
+        val bands = sh.select(col("doc_id"),
+          explode(Dedup.bandKeysFromMinhashes(col("mh"))).as("band"))
+        Dedup.lshCandidatePairs(bands).orderBy("da", "db")
+      },
+      Some {
+        val sh = Dedup.shinglesSqlDuck("string_split(cleaned, ' ')")
+        val keys = Dedup.bandKeysSqlDuck("sh").mkString("[", ", ", "]")
+        s"""WITH s AS (SELECT doc_id, $sh AS sh FROM $hotBandRel c),
+          |bands AS (SELECT doc_id, unnest($keys) AS band FROM s),
+          |capped AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band) <= ${Dedup.maxBucket})
+          |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_bands
+          |FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
 
     // ---- dedup: SimHash ---------------------------------------------------

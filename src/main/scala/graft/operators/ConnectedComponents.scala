@@ -224,16 +224,25 @@ object ConnectedComponents {
     * (v, v) self-edges — they register the vertex in both paths; there
     * is no separate vertex relation here.
     *
-    * Driver-memory contract: the guard is ROW-COUNT-based, not byte-based —
-    * the probe materializes up to `maxDriverGraph` two-string `Row`s on the
-    * driver before deciding, so driver heap for the probe is roughly
-    * rows × (2 × id length) × ~4 (Row + String + char[] overhead). The 2M
-    * default assumes short ids (entity slugs, zero-padded numerics: tens
-    * of MB); callers with long ids (URLs, paths) should size
-    * `spark.graft.cc.maxDriverGraph` down proportionally — the distributed
-    * fallback is always available and produces the identical map.
+    * Driver-memory contract: driver heap for the probe is roughly
+    * rows × (2 × id length) × ~4 (Row + String + char[] overhead), so a
+    * pure row cap would let long-id graphs (URLs, paths) blow the driver
+    * at counts a slug-id graph absorbs. The guard is therefore BYTE-aware:
+    * a tiny width probe (`limit(1000)`, one early-exiting job) measures
+    * the average (src+dst) id length and derives the effective row cap as
+    * min(`spark.graft.cc.maxDriverGraph`,
+    *     `spark.graft.cc.driverByteBudget` / (avgPairChars × 4)) —
+    * 2M rows and a 256 MB budget by default, which coincide at the
+    * zero-padded-numeric id width the dedup/canon callers use (10+10
+    * chars → 2M rows ≈ 160 MB), so short-id behavior is unchanged while a
+    * long-id graph falls back to the distributed loop without caller
+    * tuning (spec-pinned). The width sample sees only the first
+    * partition(s) — fine for a memory guard on graphs with roughly
+    * uniform id shapes; adversarially mixed widths should size the confs
+    * directly.
     */
   val maxDriverGraphConfKey = "spark.graft.cc.maxDriverGraph"
+  val driverByteBudgetConfKey = "spark.graft.cc.driverByteBudget"
 
   def runAuto(spark: SparkSession, edges: DataFrame): DataFrame = {
     // STRING ids required up front: the driver path orders components by
@@ -255,6 +264,23 @@ object ConnectedComponents {
     }
     val maxDriverRows = spark.conf.getOption(maxDriverGraphConfKey)
       .map(_.toInt).getOrElse(2_000_000)
+    val byteBudget = spark.conf.getOption(driverByteBudgetConfKey)
+      .map(_.toLong).getOrElse(256L << 20)
+    // width probe: avg (src+dst) chars over up to 1000 rows — LocalLimit
+    // early-exits after the first non-empty partition, so this is a
+    // near-free extra job even though it re-executes a slice of the
+    // upstream lineage
+    val widthSample = proj.limit(1000).collect()
+    val avgPairChars =
+      if (widthSample.isEmpty) 0.0
+      else widthSample.iterator.map { r =>
+        (if (r.isNullAt(0)) 0 else r.getString(0).length) +
+          (if (r.isNullAt(1)) 0 else r.getString(1).length)
+      }.sum.toDouble / widthSample.length
+    val rowCap =
+      if (avgPairChars <= 0.0) maxDriverRows
+      else math.min(maxDriverRows.toLong,
+        (byteBudget / (avgPairChars * 4)).toLong).toInt
     // NOTE on the over-bound path: the probe has already executed the
     // upstream lineage once, and run() recomputes it (its own checkpoint
     // of the symmetrized edges). Pre-checkpointing the edges before the
@@ -263,8 +289,8 @@ object ConnectedComponents {
     // the exact repeated-invocation accumulation measured in BENCH.md
     // §25. One bounded recompute on the rare fallback is the better
     // trade.
-    val rows = proj.limit(maxDriverRows + 1).collect()
-    if (rows.length <= maxDriverRows) {
+    val rows = proj.limit(rowCap + 1).collect()
+    if (rows.length <= rowCap) {
       val comp = runScalar(rows.toSeq.map(r => (r.getString(0), r.getString(1))))
       import spark.implicits._
       comp.toSeq.toDF("id", "component")

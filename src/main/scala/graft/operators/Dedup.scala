@@ -44,15 +44,6 @@ object Dedup {
     */
   val maxBucket = 64
 
-  /** Cap used by the `dedup_overflow` driver gate. The production cap is
-    * [[maxBucket]], under which the driver fixture has no hot band — a gate
-    * at 64 would compare two empty relations and verify nothing. Capping at
-    * 1 makes every band shared by ≥2 documents "hot", so the overflow
-    * surfacing path itself (band key + count above cap) is what the DuckDB
-    * twin checks, on a non-empty relation.
-    */
-  val overflowGateCap = 1
-
   /** tokens column from cleaned text. */
   def tokens(c: Column): Column = split(c, " ")
 

@@ -155,6 +155,33 @@ class CacheLinkCcSpec extends AnyFunSuite {
     } finally spark.conf.unset(ConnectedComponents.maxDriverGraphConfKey)
   }
 
+  test("J3: byte-aware guard — long-id graph auto-falls back to the distributed loop") {
+    // runAuto's driver probe is byte-budgeted, not just row-capped: the
+    // width probe measures avg (src+dst) id chars and shrinks the row cap
+    // to driverByteBudget / (chars × 4). 60 edges of ~2000-char ids under
+    // a 100 KB budget -> cap ≈ 6 rows -> the distributed loop runs (the
+    // result is NOT a driver-built LocalRelation) and produces the same
+    // map the driver path gives under the default budget.
+    val longId = (n: Int) => f"v$n%04d" + ("x" * 2000)
+    val edges = (0 until 60).map(i => (longId(i), longId((i / 3) * 3)))
+      .toDF("src", "dst")
+    def isDriverBuilt(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val viaDriver = ConnectedComponents.runAuto(spark, edges)
+    assert(isDriverBuilt(viaDriver),
+      "default budget must keep a short row count on the driver path")
+    val expected = viaDriver.as[(String, String)].collect().toMap
+    spark.conf.set(ConnectedComponents.driverByteBudgetConfKey, "100000")
+    try {
+      val fb = ConnectedComponents.runAuto(spark, edges)
+      assert(!isDriverBuilt(fb),
+        "long ids under a small byte budget must take the distributed loop")
+      assert(fb.as[(String, String)].collect().toMap == expected,
+        "both guard paths must produce the identical component map")
+    } finally spark.conf.unset(ConnectedComponents.driverByteBudgetConfKey)
+  }
+
   test("J3: hot doc linking 10^4 entities emits LINEAR star edges, same components") {
     // a clique build would emit K(K-1)/2 ≈ 5·10^7 rows here; the star build
     // must emit exactly K-1 per doc. Components must match the clique
