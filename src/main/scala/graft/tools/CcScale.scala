@@ -103,6 +103,25 @@ object CcScale {
       s"edge count $nEdges under the default guard — the run would take " +
         "the driver path and measure nothing; raise edgesTarget")
     val saltsOverride = sys.env.get("SPARK_GRAFT_CC_SALTS").map(_.toInt)
+    // Listener metrics around the distributed run: jobs / stages / shuffle
+    // bytes / summed executor runTime are what ground the loop's perf
+    // claims — co-tenant contention can swing wall-clock 2-5× both ways
+    // (BENCH.md §29) but cannot fake scheduler and shuffle volumes.
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val execRunTime = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        shuffleWrite.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        execRunTime.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     val comp = saltsOverride match {
       case Some(sl) =>
@@ -115,6 +134,15 @@ object CcScale {
     // ground-truth scan below is verification, not the measured work, and
     // the driver path's timing likewise excludes its verification loop
     val tDist = (System.nanoTime() - t0) / 1e9
+    // let the async listener bus drain the CC run's tail events before
+    // detaching, so the verification scan below isn't counted
+    // (listenerBus.waitUntilEmpty is private[spark]; a settle pause is
+    // enough for a dev measurement tool)
+    Thread.sleep(2000)
+    spark.sparkContext.removeSparkListener(listener)
+    println(f"[ccscale] listener (CC run only): jobs=${jobs.get} " +
+      f"stages=${stages.get} shuffleWriteMB=${shuffleWrite.get / 1048576} " +
+      f"execRunTimeS=${execRunTime.get / 1000}")
     val expected = col("id").cast("long")
     val mismatches = comp.filter(
       col("component") =!= fmt(floor(expected / groupSize) * groupSize))
@@ -125,7 +153,13 @@ object CcScale {
     require(mismatches == 0 && nComp == numGroups,
       "distributed CC diverged from constructed ground truth")
 
-    if (saltsOverride.isDefined) { spark.stop(); return }
+    // SPARK_GRAFT_CC_SKIP_DRIVER=1 skips the driver union-find comparison:
+    // at 20M+ edges the collect alone is a multi-GB driver materialization
+    // that adds nothing to the loop's ground-truth verification above
+    if (saltsOverride.isDefined ||
+        sys.env.get("SPARK_GRAFT_CC_SKIP_DRIVER").contains("1")) {
+      spark.stop(); return
+    }
 
     // driver union-find on the same edges, timed from collect through map
     // build — what the guard WOULD do if sized up; memory contract per
