@@ -174,7 +174,6 @@ object EventStream {
   def replayDailyHorizon(spark: SparkSession, events: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    implicit val ctx = spark.sqlContext
     val collected = events
       .select(col("user_id").cast("long"), col("value").cast("double"),
         col("ts").cast("timestamp"),
@@ -183,10 +182,31 @@ object EventStream {
       .collect()
     val buckets = collected.groupBy(_.getTimestamp(3)).toSeq.sortBy(_._1.getTime)
       .map(_._2.toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2))))
+    // The replay runs on a CLONED session so the state-store partition
+    // count can be pinned without touching the caller's conf (the CC-loop
+    // pattern): every micro-batch commits one delta file per state
+    // partition, so the session default (32) is ~60 file commits per
+    // replayed day of PURE fixed overhead at fixture scale. Derived from
+    // the collected row count, capped at the caller's setting — never
+    // raised. Results are partition-count-independent (hash grouping,
+    // global watermark, quantized order-independent sums).
+    val replaySession = spark.newSession()
+    val parts = math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.max(1, (collected.length + 24999) / 25000))
+    replaySession.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    implicit val ctx = replaySession.sqlContext
     val ms = MemoryStream[(Long, Double, java.sql.Timestamp)]
     val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
-    val chk = java.nio.file.Files.createTempDirectory("stream-horizon-chk")
-    val q = runningPerUserWithHorizon(spark,
+    // checkpoint on tmpfs when available: /tmp is a virtio disk whose
+    // fsync jitter dominates per-micro-batch latency (same reason the
+    // bench puts shuffle scratch on /dev/shm)
+    val shm = new java.io.File("/dev/shm")
+    val chk =
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, "stream-horizon-chk")
+      else java.nio.file.Files.createTempDirectory("stream-horizon-chk")
+    val q = runningPerUserWithHorizon(replaySession,
         ms.toDF().toDF("user_id", "value", "ts"),
         horizon = gateHorizon, watermarkDelay = gateDelay)
       .writeStream.outputMode(OutputMode.Update())
