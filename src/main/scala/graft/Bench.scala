@@ -278,9 +278,21 @@ object Bench {
     // the capture window, complete and parseable.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val errsJson = queryErrors.toSeq.sortBy(_._1)
+    // Full error text ships on the DETAIL line; the summary keeps a
+    // bounded form (80-char messages, degrading to bare names past ~400
+    // serialized chars) so one verbose AnalysisException cannot push the
+    // final line past the driver's ~2000-char tail capture — an errored
+    // run is exactly when total_valid/errors_count must stay parseable.
+    val errsFullJson = queryErrors.toSeq.sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
+    val errsJson = {
+      val short = queryErrors.toSeq.sortBy(_._1)
+        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(80)) }
+        .mkString("{", ",", "}")
+      if (short.length <= 400) short
+      else queryErrors.keys.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
     val rawTimes = levels.map { n =>
       s""""$n":[${timesByLevel(n).map(t => f"$t%.2f").mkString(",")}]"""
@@ -293,6 +305,7 @@ object Bench {
     // tail capture always ends with the complete summary JSON
     println(s"""{"detail":"scaling","times_sec":$rawTimes,""" +
       s""""loadavg_1m":$rawLoads,""" +
+      s""""errors_full":$errsFullJson,""" +
       s""""stop_rule":"min-pass $passes, then stop after the first pass that improves no level's min by >${(stableTol * 100).toInt}% (metric-independent; cap $maxPasses)"}""")
     val scaling =
       s"""{"cpus_n":$lowCpus,"cpus_4n":$midCpus,"cpus_max":$cpus,""" +

@@ -1258,12 +1258,14 @@ object SparkEntry {
     QuerySpec("stream_horizon",
       (s, dir) => graft.streaming.EventStream.replayDailyHorizon(s,
           Tables.events(s, dir).select(col("user_id"),
-            floor(col("value") * lit(1048576.0)).as("value"), col("ts")))
+            floor(col("value") * lit(graft.streaming.EventStream.gateQuantScale))
+              .as("value"), col("ts")))
         .orderBy("user_id"),
       Some {
         val hz = graft.streaming.EventStream.gateHorizonMs
         val dl = graft.streaming.EventStream.gateDelayMs
-        s"""WITH ev AS (SELECT user_id, CAST(floor(value * 1048576.0) AS BIGINT) AS q,
+        val qsc = graft.streaming.EventStream.gateQuantScale
+        s"""WITH ev AS (SELECT user_id, CAST(floor(value * $qsc) AS BIGINT) AS q,
           |    epoch_ms(ts) AS ms, date_trunc('day', ts) AS b FROM events),
           |mx AS (SELECT b, max(ms) AS bmax FROM ev GROUP BY b),
           |wm AS (SELECT b, max(bmax) OVER (ORDER BY b

@@ -228,7 +228,8 @@ object ConnectedComponents {
     * rows × (2 × id length) × ~4 (Row + String + char[] overhead), so a
     * pure row cap would let long-id graphs (URLs, paths) blow the driver
     * at counts a slug-id graph absorbs. The guard is therefore BYTE-aware:
-    * a tiny width probe (`limit(1000)`, one early-exiting job) measures
+    * a width probe (`take(1000)` on the same RDD the limit-collect then
+    * reuses, so the upstream shuffle map stage runs ONCE) measures
     * the average (src+dst) id length and derives the effective row cap as
     * min(`spark.graft.cc.maxDriverGraph`,
     *     `spark.graft.cc.driverByteBudget` / (avgPairChars × 4)) —
@@ -266,16 +267,24 @@ object ConnectedComponents {
       .map(_.toInt).getOrElse(2_000_000)
     val byteBudget = spark.conf.getOption(driverByteBudgetConfKey)
       .map(_.toLong).getOrElse(256L << 20)
-    // width probe: avg (src+dst) chars over up to 1000 rows — LocalLimit
-    // early-exits after the first non-empty partition, so this is a
-    // near-free extra job even though it re-executes a slice of the
-    // upstream lineage
-    val widthSample = proj.limit(1000).collect()
+    // Width probe AND limit-collect run as two take()s on the SAME RDD:
+    // two `limit(n).collect()` calls build two physical plans, and on a
+    // shuffle-bearing input (canonMap's groupBy+collect_set) each one
+    // re-executes the FULL upstream map stage before its CollectLimit can
+    // read a reduce partition. take() on one shared RDD lets the
+    // DAGScheduler reuse the completed shuffle map stage across the two
+    // jobs (it shows as "skipped" stages), so the probe costs one reduce
+    // partition, not a second pass over the lineage. toString copies out
+    // of the per-iterator-reused UnsafeRow before take() buffers it.
+    val pairRdd = proj.queryExecution.toRdd.mapPartitions(_.map { r =>
+      (if (r.isNullAt(0)) null else r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) null else r.getUTF8String(1).toString)
+    })
+    val widthSample = pairRdd.take(1000)
     val avgPairChars =
       if (widthSample.isEmpty) 0.0
-      else widthSample.iterator.map { r =>
-        (if (r.isNullAt(0)) 0 else r.getString(0).length) +
-          (if (r.isNullAt(1)) 0 else r.getString(1).length)
+      else widthSample.iterator.map { case (s, d) =>
+        (if (s == null) 0 else s.length) + (if (d == null) 0 else d.length)
       }.sum.toDouble / widthSample.length
     val rowCap =
       if (avgPairChars <= 0.0) maxDriverRows
@@ -289,9 +298,9 @@ object ConnectedComponents {
     // the exact repeated-invocation accumulation measured in BENCH.md
     // §25. One bounded recompute on the rare fallback is the better
     // trade.
-    val rows = proj.limit(rowCap + 1).collect()
+    val rows = pairRdd.take(rowCap + 1)
     if (rows.length <= rowCap) {
-      val comp = runScalar(rows.toSeq.map(r => (r.getString(0), r.getString(1))))
+      val comp = runScalar(rows.toSeq)
       import spark.implicits._
       comp.toSeq.toDF("id", "component")
     } else run(spark, edges)

@@ -137,6 +137,11 @@ object EventStream {
   val gateHorizonMs: Long = 86400000L
   val gateDelay = "10 minutes"
   val gateDelayMs: Long = 600000L
+  /** floor(value * 2^20) quantization — the `ann_ivf_trained` trick that
+    * makes the per-batch double fold order-independent and exact. Shared
+    * by the gate's Spark plan AND the DuckDB twin (never hand-edit one).
+    */
+  val gateQuantScale: Double = 1048576.0
 
   /** Finite replay of a bounded (user_id, value, ts) relation through
     * [[runningPerUserWithHorizon]] — the `stream_horizon` driver gate: one
@@ -174,13 +179,19 @@ object EventStream {
   def replayDailyHorizon(spark: SparkSession, events: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
+    // epoch-day bucketing, NOT date_trunc("day", ...): date_trunc follows
+    // spark.sql.session.timeZone, so a non-UTC caller would get different
+    // batch boundaries (hence a different watermark sequence and different
+    // evictions) than the UTC-day contract the DuckDB twin's arithmetic
+    // assumes. floor(epoch_ms / 86400000) is timezone-independent.
     val collected = events
       .select(col("user_id").cast("long"), col("value").cast("double"),
         col("ts").cast("timestamp"),
-        date_trunc("day", col("ts").cast("timestamp")).as("bucket"))
+        floor(unix_millis(col("ts").cast("timestamp")) / lit(86400000.0))
+          .cast("long").as("bucket"))
       .orderBy("bucket", "ts")
       .collect()
-    val buckets = collected.groupBy(_.getTimestamp(3)).toSeq.sortBy(_._1.getTime)
+    val buckets = collected.groupBy(_.getLong(3)).toSeq.sortBy(_._1)
       .map(_._2.toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2))))
     // The replay runs on a CLONED session so the state-store partition
     // count can be pinned without touching the caller's conf (the CC-loop

@@ -135,10 +135,21 @@ object CcScale {
     // the driver path's timing likewise excludes its verification loop
     val tDist = (System.nanoTime() - t0) / 1e9
     // let the async listener bus drain the CC run's tail events before
-    // detaching, so the verification scan below isn't counted
-    // (listenerBus.waitUntilEmpty is private[spark]; a settle pause is
-    // enough for a dev measurement tool)
-    Thread.sleep(2000)
+    // detaching, so the verification scan below isn't counted.
+    // listenerBus.waitUntilEmpty is private[spark], and a FIXED pause can
+    // under-wait after a multi-round 20M-edge run (tail stage events still
+    // queued would silently vanish from the very metrics this tool
+    // publishes) — so poll until the counters stop changing instead.
+    locally {
+      var settled = 0
+      var last = (-1L, -1L, -1L, -1L)
+      val deadline = System.nanoTime() + 60_000_000_000L
+      while (settled < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        val now = (jobs.get, stages.get, shuffleWrite.get, execRunTime.get)
+        if (now == last) settled += 1 else { settled = 0; last = now }
+      }
+    }
     spark.sparkContext.removeSparkListener(listener)
     println(f"[ccscale] listener (CC run only): jobs=${jobs.get} " +
       f"stages=${stages.get} shuffleWriteMB=${shuffleWrite.get / 1048576} " +
