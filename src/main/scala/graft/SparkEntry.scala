@@ -1282,6 +1282,56 @@ object SparkEntry {
           |SELECT s.user_id, count(*) AS n_events, sum(s.q) AS total_q
           |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.sid = l.msid
           |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin
+      }),
+
+    // ---- streaming dedup horizon gate: dropDuplicatesWithinWatermark run
+    // for real over the same daily replay — the BOUNDED-state dedup
+    // variant (S3/J1's streaming face). Feed = per (user_id, UTC day) the
+    // ms-floored min event time, duplicated 2× byte-identically so the
+    // in-batch drop path runs without order ambiguity. The DuckDB twin
+    // walks each key's day sequence with the PROBED state arithmetic
+    // (HorizonProbe dprobe1-5, spec-pinned): expiry = emitted ts +
+    // horizon, eviction on watermark >= expiry (EQUALITY evicts — the
+    // opposite polarity of flatMapGroupsWithState's strict timeout),
+    // duplicates do not extend the stored expiry, and the no-data batch
+    // evicts before a key's re-arrival. At sf0.01 the 12h horizon splits
+    // the fixture ~half emit (2137, of them 1987 evict-and-re-emits) /
+    // half dedup-drop (1869) — both paths exercised, not vacuously green.
+    QuerySpec("stream_dedup_horizon",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp").as("ts"))
+        val byDay = ev.groupBy(col("user_id"),
+            floor(unix_millis(col("ts")) / lit(86400000.0)).cast("long").as("d"))
+          .agg(timestamp_millis(unix_millis(min(col("ts")))).as("ts"))
+        val fed = byDay.select(col("user_id"),
+            col("user_id").cast("string").as("text"), col("ts"))
+          .withColumn("dup", explode(array(lit(1), lit(2))))
+          .drop("dup")
+        graft.streaming.EventStream.replayDailyDedup(s, fed)
+          .orderBy("user_id", "t_ms")
+      },
+      Some {
+        val hz = graft.streaming.EventStream.gateDedupHorizonMs
+        s"""WITH RECURSIVE kd AS (SELECT user_id,
+          |    CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT) AS d,
+          |    min(epoch_ms(ts)) AS t FROM events GROUP BY 1, 2),
+          |mx AS (SELECT d, max(t) AS dm FROM kd GROUP BY d),
+          |wm AS (SELECT d, max(dm) OVER (ORDER BY d
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $hz AS w FROM mx),
+          |seq AS (SELECT kd.user_id, kd.t, wm.w,
+          |    row_number() OVER (PARTITION BY kd.user_id ORDER BY kd.d) AS rn
+          |  FROM kd JOIN wm ON wm.d = kd.d),
+          |walk AS (
+          |  SELECT user_id, rn, t, TRUE AS em, t AS le FROM seq WHERE rn = 1
+          |  UNION ALL
+          |  SELECT s.user_id, s.rn, s.t,
+          |      s.w >= wk.le + $hz,
+          |      CASE WHEN s.w >= wk.le + $hz THEN s.t ELSE wk.le END
+          |  FROM walk wk JOIN seq s ON s.user_id = wk.user_id AND s.rn = wk.rn + 1)
+          |SELECT user_id, t AS t_ms FROM walk WHERE em
+          |ORDER BY user_id, t_ms""".stripMargin
       })
   )
 

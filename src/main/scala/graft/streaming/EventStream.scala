@@ -143,6 +143,14 @@ object EventStream {
     */
   val gateQuantScale: Double = 1048576.0
 
+  /** Constants of the `stream_dedup_horizon` driver gate (shared with its
+    * DuckDB twin — change one, both sides move). 12 hours splits the
+    * fixture roughly half emit / half dedup-drop at every SF (measured:
+    * 2137 emits / 1869 drops at sf0.01).
+    */
+  val gateDedupHorizon = "12 hours"
+  val gateDedupHorizonMs: Long = 43200000L
+
   /** Finite replay of a bounded (user_id, value, ts) relation through
     * [[runningPerUserWithHorizon]] — the `stream_horizon` driver gate: one
     * micro-batch per UTC day in event-time order, so the watermark advances
@@ -244,6 +252,79 @@ object EventStream {
     }
     last.map(r => (r._2, r._3, r._4.toLong))
       .toDF("user_id", "n_events", "total_q")
+  }
+
+  /** Finite replay of a bounded (user_id, text, ts) relation through
+    * [[dedupDocsWithHorizon]] — the `stream_dedup_horizon` driver gate:
+    * one micro-batch per UTC day in event-time order, returning every
+    * EMITTED row as (user_id, t_ms). An in-horizon duplicate is dropped;
+    * a key whose state the watermark evicted re-emits — the bounded-state
+    * dedup semantics the gate pins cross-engine.
+    *
+    * Probed semantics the twin replicates (graft.tools.HorizonProbe
+    * dprobe1-5; pinned in AnalysisStreamingSpec):
+    *  - state expiry is (event time + watermark delay), NOT bare ts;
+    *  - eviction fires on watermark >= expiry (EQUALITY evicts — the
+    *    OPPOSITE polarity of flatMapGroupsWithState's strict timeout <
+    *    watermark, probed in dprobe3 vs probe2);
+    *  - an in-horizon duplicate does NOT extend the stored expiry;
+    *  - eviction happens in the no-data batch after a watermark advance,
+    *    so a key re-arriving in the very next data batch re-emits.
+    *
+    * Determinism contract: callers feed rows whose ts is EXACT
+    * milliseconds and identical across a key's rows within one day (the
+    * gate feeds per-key-day min-ts duplicates), so which duplicate the
+    * engine emits is unobservable. Driver boundedness: same fixture-scale
+    * replay contract as [[replayDailyHorizon]].
+    */
+  def replayDailyDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val collected = docs
+      .select(col("user_id").cast("long"), col("text").cast("string"),
+        col("ts").cast("timestamp"),
+        floor(unix_millis(col("ts").cast("timestamp")) / lit(86400000.0))
+          .cast("long").as("bucket"))
+      .orderBy("bucket", "ts")
+      .collect()
+    val buckets = collected.groupBy(_.getLong(3)).toSeq.sortBy(_._1)
+      .map(_._2.toSeq.map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))))
+    val replaySession = spark.newSession()
+    val parts = math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.max(1, (collected.length + 24999) / 25000))
+    replaySession.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    implicit val ctx = replaySession.sqlContext
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val shm = new java.io.File("/dev/shm")
+    val chk =
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, "stream-dedup-chk")
+      else java.nio.file.Files.createTempDirectory("stream-dedup-chk")
+    val q = dedupDocsWithHorizon(
+        ms.toDF().toDF("user_id", "text", "ts"),
+        tsCol = "ts", horizon = gateDedupHorizon, textCol = "text")
+      .select(col("user_id"), col("ts"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", chk.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect()
+        buf.synchronized {
+          rows.foreach(r => buf += ((r.getLong(0), r.getTimestamp(1).getTime)))
+        }
+        ()
+      }
+      .start()
+    try buckets.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(chk.toFile)
+    }
+    buf.synchronized { buf.toSeq }.toDF("user_id", "t_ms")
   }
 
   def runningPerUserWithHorizon(spark: SparkSession, events: DataFrame,

@@ -16,6 +16,17 @@ import graft.streaming.EventStream
   *     watermark` (equality polarity)?
   *  3. Is the watermark computed on FLOOR-millisecond event times (micros
   *     truncated), matching `java.sql.Timestamp.getTime`?
+  *
+  * And (dprobe1-5) the dropDuplicatesWithinWatermark state arithmetic the
+  * `stream_dedup_horizon` twin must replicate:
+  *
+  *  - is the state evicted in the no-data batch before a re-arrival?
+  *  - does an in-horizon duplicate EXTEND the stored expiry?
+  *  - eviction polarity: `watermark >= expiry` or strict `>`? (measured:
+  *    EQUALITY evicts — the opposite of the flatMapGroupsWithState
+  *    timeout's strict `<`)
+  *  - is the expiry (event time + watermark delay), or the bare event
+  *    time?
   */
 object HorizonProbe {
   def main(args: Array[String]): Unit = {
@@ -71,6 +82,71 @@ object HorizonProbe {
       Seq((2L, 1.0, "2024-01-01 06:10:00.000999")),
       Seq((1L, 1.0, "2024-01-01 06:05:00"))))
     println(s"[probe3] rows=$r3 -> A restarted=${r3.count(r => r._1 == 1L && r._2 == 1L) == 2}")
+
+    // ---- dropDuplicatesWithinWatermark (dedupDocsWithHorizon) probes ----
+    // Same discipline for the `stream_dedup_horizon` twin: the state-expiry
+    // arithmetic must be PROBED, not read off the scaladoc.
+    def runD(name: String, batches: Seq[Seq[(Long, String, String)]]): Seq[(Long, String)] = {
+      val ms = MemoryStream[(Long, String, String)]
+      val q = EventStream.dedupDocsWithHorizon(
+          ms.toDF().toDF("user_id", "text", "ts"),
+          tsCol = "ts", horizon = "1 hour", textCol = "text")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).selectExpr("user_id", "cast(ts as string)")
+        .as[(Long, String)].collect().toSeq
+    }
+
+    // DP1 (no-data batch eviction): A@05:10, expiry 06:10 (eventTime +
+    // delay). B@08:00 -> wm 07:00 > expiry. A re-arrives 07:30 WITH data.
+    // A emitted twice -> evicted before (or at) its re-arrival batch.
+    val d1 = runD("d1", Seq(
+      Seq((1L, "A", "2024-01-01 05:10:00")),
+      Seq((2L, "B", "2024-01-01 08:00:00")),
+      Seq((1L, "A", "2024-01-01 07:30:00"))))
+    println(s"[dprobe1] rows=$d1 -> A emitted ${d1.count(_._1 == 1L)} times (2 = evicted+reemitted)")
+
+    // DP2 (does an in-horizon duplicate EXTEND the expiry?): A@05:00
+    // (expiry 06:00), dup A@05:50 (if extending -> expiry 06:50).
+    // B@07:30 -> wm 06:30. A@07:00: emitted -> NO extension (06:00 <
+    // 06:30, evicted); dropped -> the dup extended the expiry.
+    val d2 = runD("d2", Seq(
+      Seq((1L, "A", "2024-01-01 05:00:00")),
+      Seq((1L, "A", "2024-01-01 05:50:00")),
+      Seq((2L, "B", "2024-01-01 07:30:00")),
+      Seq((1L, "A", "2024-01-01 07:00:00"))))
+    println(s"[dprobe2] rows=$d2 -> A emitted ${d2.count(_._1 == 1L)} times (2 = duplicates do NOT extend expiry)")
+
+    // DP3 (eviction polarity): A@05:00 (expiry 06:00.000), B@07:00:00.000
+    // -> wm == expiry EXACTLY. A@06:30: emitted -> evicts on wm >= expiry;
+    // dropped -> strict wm > expiry only.
+    val d3 = runD("d3", Seq(
+      Seq((1L, "A", "2024-01-01 05:00:00")),
+      Seq((2L, "B", "2024-01-01 07:00:00")),
+      Seq((1L, "A", "2024-01-01 06:30:00"))))
+    println(s"[dprobe3] rows=$d3 -> A emitted ${d3.count(_._1 == 1L)} times (2 = evicts on equality)")
+
+    // DP4 (floor millis): B@07:00:00.000999. If the wm floors to millis the
+    // result matches dprobe3; if micros survive, wm > expiry -> A re-emits
+    // regardless of dprobe3's polarity.
+    val d4 = runD("d4", Seq(
+      Seq((1L, "A", "2024-01-01 05:00:00")),
+      Seq((2L, "B", "2024-01-01 07:00:00.000999")),
+      Seq((1L, "A", "2024-01-01 06:30:00"))))
+    println(s"[dprobe4] rows=$d4 -> A emitted ${d4.count(_._1 == 1L)} times")
+
+    // DP5 (is the expiry ts + delay, or bare ts?): A@05:00, B@06:30 ->
+    // wm 05:30. expiry = ts + delay (06:00) -> A still in state, its
+    // 06:00 re-arrival dropped (count 1); expiry = bare ts (05:00 <=
+    // wm) -> evicted, re-emitted (count 2).
+    val d5 = runD("d5", Seq(
+      Seq((1L, "A", "2024-01-01 05:00:00")),
+      Seq((2L, "B", "2024-01-01 06:30:00")),
+      Seq((1L, "A", "2024-01-01 06:00:00"))))
+    println(s"[dprobe5] rows=$d5 -> A emitted ${d5.count(_._1 == 1L)} times (1 = expiry is ts + delay)")
 
     spark.stop()
   }

@@ -335,6 +335,107 @@ class AnalysisStreamingSpec extends AnyFunSuite {
       s"expected in-horizon dup 3 dropped and expired key 5 re-emitted, got $got")
   }
 
+  /** Replay crafted batches through dedupDocsWithHorizon (1h horizon) and
+    * return the emitted (doc_id, ts-string) rows — the probe harness for
+    * the dropDuplicatesWithinWatermark state arithmetic the
+    * stream_dedup_horizon twin replicates (HorizonProbe dprobe1-5).
+    */
+  private def runDedupBatches(name: String,
+      batches: Seq[Seq[(Long, String, String)]]): Seq[(Long, String)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val q = EventStream.dedupDocsWithHorizon(
+        ms.toDF().toDF("doc_id", "text", "ts"), horizon = "1 hour")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).selectExpr("doc_id", "cast(ts as string)")
+      .as[(Long, String)].collect().toSeq
+  }
+
+  test("streaming: dedup horizon state is evicted in a NO-DATA batch before the key's re-arrival") {
+    // A@05:10 (expiry 06:10), B@08:00 -> watermark 07:00 >= expiry. A
+    // re-arrives at 07:30 in the first data batch after the advance and
+    // must find its state already gone (probed: dprobe1).
+    val rows = runDedupBatches("dedup_empty_batch", Seq(
+      Seq((1L, "A", "2024-01-01 05:10:00")),
+      Seq((2L, "B", "2024-01-01 08:00:00")),
+      Seq((1L, "A", "2024-01-01 07:30:00"))))
+    assert(rows.count(_._2.startsWith("2024-01-01 07:30")) == 1,
+      s"expected A evicted + re-emitted, got $rows")
+  }
+
+  test("streaming: dedup horizon — an in-horizon duplicate does NOT extend the stored expiry") {
+    // A@05:00 (expiry 06:00), dup A@05:50 dropped (would extend to 06:50),
+    // B@07:30 -> wm 06:30. A@07:00 re-emits: the dup left the expiry at
+    // 06:00 < wm (probed: dprobe2). The twin's walk keeps `le` unchanged
+    // on dropped rows for exactly this reason.
+    val rows = runDedupBatches("dedup_no_extend", Seq(
+      Seq((1L, "A", "2024-01-01 05:00:00")),
+      Seq((1L, "A", "2024-01-01 05:50:00")),
+      Seq((2L, "B", "2024-01-01 07:30:00")),
+      Seq((1L, "A", "2024-01-01 07:00:00"))))
+    assert(rows.count(_._1 == 1L) == 2,
+      s"expected the 05:50 dup dropped without extending expiry, got $rows")
+  }
+
+  test("streaming: dedup horizon eviction fires ON EQUALITY (watermark == expiry evicts)") {
+    // A@05:00 (expiry 06:00.000), B@07:00:00.000 -> wm EXACTLY 06:00.000.
+    // A@06:30 re-emits (probed: dprobe3) — the OPPOSITE polarity of the
+    // flatMapGroupsWithState timeout, which is strict (see "horizon
+    // timeout is STRICT" above). The dedup twin uses `>=` where the
+    // running-totals twin uses `>`; do not "unify" them.
+    val rows = runDedupBatches("dedup_equality", Seq(
+      Seq((1L, "A", "2024-01-01 05:00:00")),
+      Seq((2L, "B", "2024-01-01 07:00:00")),
+      Seq((1L, "A", "2024-01-01 06:30:00"))))
+    assert(rows.count(_._1 == 1L) == 2,
+      s"expected watermark == expiry to evict (re-emit), got $rows")
+  }
+
+  test("streaming: dedup horizon expiry is event time + delay, not bare event time") {
+    // A@05:00, B@06:30 -> wm 05:30. Bare-ts expiry would evict A (05:00 <=
+    // 05:30) and re-emit its 06:00 arrival; probed (dprobe5): the expiry is
+    // ts + delay = 06:00 > wm, so the arrival is dropped as a duplicate.
+    val rows = runDedupBatches("dedup_expiry_form", Seq(
+      Seq((1L, "A", "2024-01-01 05:00:00")),
+      Seq((2L, "B", "2024-01-01 06:30:00")),
+      Seq((1L, "A", "2024-01-01 06:00:00"))))
+    assert(rows.count(_._1 == 1L) == 1,
+      s"expected the 06:00 arrival dropped (expiry = ts + delay), got $rows")
+  }
+
+  test("streaming: replayDailyDedup matches the twin arithmetic on a crafted eviction") {
+    // end-to-end through the gate harness (12h horizon): user 1 skips two
+    // days and re-emits; user 2's day-2 arrival is still in state; user 9
+    // hits the EQUALITY eviction edge exactly (wm(d3) = d2 11:50 == its
+    // d1 23:50 + 12h expiry). Day-1 user-1 rows are duplicated in-batch —
+    // exactly one emission. Expected values computed by the twin's walk.
+    def ms(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+    val ev = Seq(
+      (1L, "u1", "2024-01-01 10:00:00"),
+      (1L, "u1", "2024-01-01 10:00:00"), // in-batch byte-identical dup
+      (2L, "u2", "2024-01-01 23:00:00"),
+      (9L, "u9", "2024-01-01 23:50:00"),
+      (2L, "u2", "2024-01-02 09:00:00"),
+      (9L, "u9", "2024-01-02 23:50:00"),
+      (9L, "u9", "2024-01-03 23:50:00"),
+      (1L, "u1", "2024-01-04 08:00:00"))
+      .toDF("user_id", "text", "ts")
+      .select(col("user_id"), col("text"), col("ts").cast("timestamp"))
+    val got = EventStream.replayDailyDedup(spark, ev)
+      .as[(Long, Long)].collect().toSet
+    val want = Set(
+      1L -> ms("2024-01-01T10:00:00Z"), // first arrival (dup suppressed)
+      1L -> ms("2024-01-04T08:00:00Z"), // wm(d4) = d3 11:50 >= d1 22:00
+      2L -> ms("2024-01-01T23:00:00Z"), // d2: wm = d1 11:50 < d2 11:00
+      9L -> ms("2024-01-01T23:50:00Z"),
+      9L -> ms("2024-01-03T23:50:00Z")) // equality eviction at d3
+    assert(got == want, s"expected $want, got $got")
+  }
+
   test("streaming: foreachBatch KG pipeline == batch triples (micro-batched corpus)") {
     // the full pipeline (cleanup -> split/tag -> link -> triples) running
     // per micro-batch over a file stream of the Doc table must produce
