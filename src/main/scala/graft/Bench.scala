@@ -74,7 +74,7 @@ object Bench {
         time(fn(spark, sfDir).count())._2
       } catch {
         case e: Throwable =>
-          errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}"
+          errors(name) = s"${e.getClass.getName}: ${takeCp(String.valueOf(e.getMessage), 200)}"
           -1.0
       }
       name -> t
@@ -97,6 +97,17 @@ object Bench {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Truncate without splitting a surrogate pair: a lone surrogate would
+    * pass through the JSON writer raw and break strict parsers of the
+    * summary line.
+    */
+  private def takeCp(s: String, n: Int): String = {
+    val end = math.min(s.length, n)
+    if (end > 0 && Character.isHighSurrogate(s.charAt(end - 1)))
+      s.substring(0, end - 1)
+    else s.substring(0, end)
   }
 
   private def time[T](f: => T): (T, Double) = {
@@ -288,10 +299,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errsJson = {
       val short = queryErrors.toSeq.sortBy(_._1)
-        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(80)) }
+        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(takeCp(v, 80)) }
         .mkString("{", ",", "}")
       if (short.length <= 400) short
-      else queryErrors.keys.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")
+      else {
+        // names-only fallback, itself capped: a mass failure (shared
+        // operator regression) could otherwise blow the capture window
+        // with 58 names where the 80-char object form already did
+        val names = queryErrors.keys.toSeq.sorted
+        (names.take(8).map(jsonStr) ++
+          (if (names.length > 8) Seq(jsonStr(s"+${names.length - 8} more"))
+           else Nil)).mkString("[", ",", "]")
+      }
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val rawTimes = levels.map { n =>

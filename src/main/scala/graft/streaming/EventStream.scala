@@ -185,57 +185,77 @@ object EventStream {
     * and `total_q`'s toLong is exact.
     */
   def replayDailyHorizon(spark: SparkSession, events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    // epoch-day bucketing, NOT date_trunc("day", ...): date_trunc follows
-    // spark.sql.session.timeZone, so a non-UTC caller would get different
-    // batch boundaries (hence a different watermark sequence and different
-    // evictions) than the UTC-day contract the DuckDB twin's arithmetic
-    // assumes. floor(epoch_ms / 86400000) is timezone-independent.
-    val collected = events
-      .select(col("user_id").cast("long"), col("value").cast("double"),
-        col("ts").cast("timestamp"),
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    replayDaily[(Long, Double, java.sql.Timestamp)](spark, events,
+      Seq(col("user_id").cast("long"), col("value").cast("double"),
+        col("ts").cast("timestamp")),
+      Seq("user_id", "value", "ts"),
+      r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2)),
+      OutputMode.Update(),
+      (s, df) => runningPerUserWithHorizon(s, df,
+        horizon = gateHorizon, watermarkDelay = gateDelay).toDF(),
+      (bid, rows) => buf.synchronized {
+        rows.foreach(r => buf += ((bid, r.getLong(0), r.getLong(1), r.getDouble(2))))
+      })
+    val last = buf.synchronized {
+      buf.groupBy(_._2).map { case (_, rs) => rs.maxBy(_._1) }.toSeq
+    }
+    last.map(r => (r._2, r._3, r._4.toLong))
+      .toDF("user_id", "n_events", "total_q")
+  }
+
+  /** Shared scaffolding of the daily-replay gates: collect a bounded
+    * relation bucketed by epoch UTC day — floor(epoch_ms / 86400000), NOT
+    * `date_trunc`, which follows spark.sql.session.timeZone and would move
+    * a non-UTC caller's batch boundaries (hence watermarks and evictions)
+    * off the twins' UTC-day arithmetic — then replay one micro-batch per
+    * day in day order and hand each micro-batch's rows to `sink`.
+    *
+    * The replay runs on a CLONED session so the state-store partition
+    * count can be pinned without touching the caller's conf (the CC-loop
+    * pattern): every micro-batch commits one state delta file per
+    * partition, so the session default (32) is ~60 file commits per
+    * replayed day of PURE fixed overhead at fixture scale. The count is
+    * derived from the collected row count, capped at the caller's setting
+    * — never raised; results are partition-count-independent (hash
+    * grouping, global watermark, order-independent gate sums). The
+    * checkpoint lives on tmpfs when available: /tmp is a virtio disk
+    * whose fsync jitter dominates per-micro-batch latency (the reason the
+    * bench puts shuffle scratch on /dev/shm). Together 3.4×, BENCH.md §36.
+    */
+  private def replayDaily[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, source: DataFrame,
+      valueCols: Seq[org.apache.spark.sql.Column], colNames: Seq[String],
+      toTuple: org.apache.spark.sql.Row => T, mode: OutputMode,
+      query: (SparkSession, DataFrame) => DataFrame,
+      sink: (Long, Array[org.apache.spark.sql.Row]) => Unit): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val collected = source
+      .select(valueCols :+
         floor(unix_millis(col("ts").cast("timestamp")) / lit(86400000.0))
-          .cast("long").as("bucket"))
+          .cast("long").as("bucket"): _*)
       .orderBy("bucket", "ts")
       .collect()
-    val buckets = collected.groupBy(_.getLong(3)).toSeq.sortBy(_._1)
-      .map(_._2.toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2))))
-    // The replay runs on a CLONED session so the state-store partition
-    // count can be pinned without touching the caller's conf (the CC-loop
-    // pattern): every micro-batch commits one delta file per state
-    // partition, so the session default (32) is ~60 file commits per
-    // replayed day of PURE fixed overhead at fixture scale. Derived from
-    // the collected row count, capped at the caller's setting — never
-    // raised. Results are partition-count-independent (hash grouping,
-    // global watermark, quantized order-independent sums).
+    val buckets = collected.groupBy(_.getLong(valueCols.length)).toSeq
+      .sortBy(_._1).map(_._2.toSeq.map(toTuple))
     val replaySession = spark.newSession()
     val parts = math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
       math.max(1, (collected.length + 24999) / 25000))
     replaySession.conf.set("spark.sql.shuffle.partitions", parts.toString)
     implicit val ctx = replaySession.sqlContext
-    val ms = MemoryStream[(Long, Double, java.sql.Timestamp)]
-    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
-    // checkpoint on tmpfs when available: /tmp is a virtio disk whose
-    // fsync jitter dominates per-micro-batch latency (same reason the
-    // bench puts shuffle scratch on /dev/shm)
+    val ms = MemoryStream[T]
     val shm = new java.io.File("/dev/shm")
     val chk =
       if (shm.isDirectory && shm.canWrite)
-        java.nio.file.Files.createTempDirectory(shm.toPath, "stream-horizon-chk")
-      else java.nio.file.Files.createTempDirectory("stream-horizon-chk")
-    val q = runningPerUserWithHorizon(replaySession,
-        ms.toDF().toDF("user_id", "value", "ts"),
-        horizon = gateHorizon, watermarkDelay = gateDelay)
-      .writeStream.outputMode(OutputMode.Update())
+        java.nio.file.Files.createTempDirectory(shm.toPath, "daily-replay-chk")
+      else java.nio.file.Files.createTempDirectory("daily-replay-chk")
+    val q = query(replaySession, ms.toDF().toDF(colNames: _*))
+      .writeStream.outputMode(mode)
       .option("checkpointLocation", chk.toString)
-      .foreachBatch { (batch: Dataset[UserRunning], bid: Long) =>
-        val rows = batch.collect()
-        buf.synchronized {
-          rows.foreach(r => buf += ((bid, r.user_id, r.n_events, r.total_value)))
-        }
-        ()
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        sink(bid, batch.collect()); ()
       }
       .start()
     try buckets.foreach { b => ms.addData(b); q.processAllAvailable() }
@@ -247,11 +267,6 @@ object EventStream {
       }
       rm(chk.toFile)
     }
-    val last = buf.synchronized {
-      buf.groupBy(_._2).map { case (_, rs) => rs.maxBy(_._1) }.toSeq
-    }
-    last.map(r => (r._2, r._3, r._4.toLong))
-      .toDF("user_id", "n_events", "total_q")
   }
 
   /** Finite replay of a bounded (user_id, text, ts) relation through
@@ -278,52 +293,20 @@ object EventStream {
     * replay contract as [[replayDailyHorizon]].
     */
   def replayDailyDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    val collected = docs
-      .select(col("user_id").cast("long"), col("text").cast("string"),
-        col("ts").cast("timestamp"),
-        floor(unix_millis(col("ts").cast("timestamp")) / lit(86400000.0))
-          .cast("long").as("bucket"))
-      .orderBy("bucket", "ts")
-      .collect()
-    val buckets = collected.groupBy(_.getLong(3)).toSeq.sortBy(_._1)
-      .map(_._2.toSeq.map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))))
-    val replaySession = spark.newSession()
-    val parts = math.min(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt,
-      math.max(1, (collected.length + 24999) / 25000))
-    replaySession.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    implicit val ctx = replaySession.sqlContext
-    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
     val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-    val shm = new java.io.File("/dev/shm")
-    val chk =
-      if (shm.isDirectory && shm.canWrite)
-        java.nio.file.Files.createTempDirectory(shm.toPath, "stream-dedup-chk")
-      else java.nio.file.Files.createTempDirectory("stream-dedup-chk")
-    val q = dedupDocsWithHorizon(
-        ms.toDF().toDF("user_id", "text", "ts"),
-        tsCol = "ts", horizon = gateDedupHorizon, textCol = "text")
-      .select(col("user_id"), col("ts"))
-      .writeStream.outputMode(OutputMode.Append())
-      .option("checkpointLocation", chk.toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.collect()
-        buf.synchronized {
-          rows.foreach(r => buf += ((r.getLong(0), r.getTimestamp(1).getTime)))
-        }
-        ()
-      }
-      .start()
-    try buckets.foreach { b => ms.addData(b); q.processAllAvailable() }
-    finally {
-      q.stop()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-      }
-      rm(chk.toFile)
-    }
+    replayDaily[(Long, String, java.sql.Timestamp)](spark, docs,
+      Seq(col("user_id").cast("long"), col("text").cast("string"),
+        col("ts").cast("timestamp")),
+      Seq("user_id", "text", "ts"),
+      r => (r.getLong(0), r.getString(1), r.getTimestamp(2)),
+      OutputMode.Append(),
+      (_, df) => dedupDocsWithHorizon(df, tsCol = "ts",
+        horizon = gateDedupHorizon, textCol = "text")
+        .select(col("user_id"), col("ts")),
+      (_, rows) => buf.synchronized {
+        rows.foreach(r => buf += ((r.getLong(0), r.getTimestamp(1).getTime)))
+      })
     buf.synchronized { buf.toSeq }.toDF("user_id", "t_ms")
   }
 

@@ -141,10 +141,13 @@ object CcScale {
     // queued would silently vanish from the very metrics this tool
     // publishes) — so poll until the counters stop changing instead.
     locally {
+      // 6 consecutive stable polls = 3 s of silence: a 1-2 s GC pause or
+      // bus stall must not read as "drained" (the metrics are published
+      // evidence; a 20M-edge run can queue events for seconds)
       var settled = 0
       var last = (-1L, -1L, -1L, -1L)
-      val deadline = System.nanoTime() + 60_000_000_000L
-      while (settled < 2 && System.nanoTime() < deadline) {
+      val deadline = System.nanoTime() + 120_000_000_000L
+      while (settled < 6 && System.nanoTime() < deadline) {
         Thread.sleep(500)
         val now = (jobs.get, stages.get, shuffleWrite.get, execRunTime.get)
         if (now == last) settled += 1 else { settled = 0; last = now }

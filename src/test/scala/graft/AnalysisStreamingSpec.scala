@@ -425,14 +425,17 @@ class AnalysisStreamingSpec extends AnyFunSuite {
       (1L, "u1", "2024-01-04 08:00:00"))
       .toDF("user_id", "text", "ts")
       .select(col("user_id"), col("text"), col("ts").cast("timestamp"))
+    // sorted Seq, NOT a Set: a double emission of the in-batch duplicate
+    // (or a buf double-append) would collapse in a set and pass silently
     val got = EventStream.replayDailyDedup(spark, ev)
-      .as[(Long, Long)].collect().toSet
-    val want = Set(
+      .as[(Long, Long)].collect().toSeq.sorted
+    val want = Seq(
       1L -> ms("2024-01-01T10:00:00Z"), // first arrival (dup suppressed)
       1L -> ms("2024-01-04T08:00:00Z"), // wm(d4) = d3 11:50 >= d1 22:00
       2L -> ms("2024-01-01T23:00:00Z"), // d2: wm = d1 11:50 < d2 11:00
       9L -> ms("2024-01-01T23:50:00Z"),
       9L -> ms("2024-01-03T23:50:00Z")) // equality eviction at d3
+      .sorted
     assert(got == want, s"expected $want, got $got")
   }
 
