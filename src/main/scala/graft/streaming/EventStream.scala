@@ -289,7 +289,12 @@ object EventStream {
     * Determinism contract: callers feed rows whose ts is EXACT
     * milliseconds and identical across a key's rows within one day (the
     * gate feeds per-key-day min-ts duplicates), so which duplicate the
-    * engine emits is unobservable. Driver boundedness: same fixture-scale
+    * engine emits is unobservable. The ms-exact clause is LOAD-BEARING
+    * for the twin, not just hygiene: the dedup state stores the event
+    * time at MICROSECOND precision (probed, dprobe6 — unlike the
+    * flatMapGroupsWithState state's Timestamp.getTime floor), so a
+    * micros-carrying feed would hold sub-ms expiries the twin's epoch_ms
+    * arithmetic cannot see. Driver boundedness: same fixture-scale
     * replay contract as [[replayDailyHorizon]].
     */
   def replayDailyDedup(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -32,16 +32,25 @@ object HorizonFuzz {
   private val dayMs = 86400000L
   private val day0 = 1704067200000L // 2024-01-01T00:00:00Z
 
+  /** Per-day strict-prefix max of event times — the watermark driver both
+    * twins share (wm before day d = prefixDayMax(d) − delay/horizon). One
+    * copy: the watermark derivation is the piece an edit to the probed
+    * semantics would touch, and two copies could silently diverge.
+    */
+  private def prefixDayMax(tsMs: Seq[Long]): Map[Long, Long] = {
+    val dayMax = tsMs.groupBy(_ / dayMs).map { case (d, ts) => d -> ts.max }
+    val days = dayMax.keys.toSeq.sorted
+    days.zipWithIndex.map { case (d, i) =>
+      d -> (if (i == 0) Long.MinValue / 4 else days.take(i).map(dayMax).max)
+    }.toMap
+  }
+
   /** Scala twin of the stream_horizon DuckDB arithmetic over raw events
     * (uid, intValue, tsMs): last emitted (n, total) per uid.
     */
   def horizonTwin(evs: Seq[(Long, Double, Long)], horizonMs: Long,
       delayMs: Long): Set[(Long, Long, Long)] = {
-    val dayMax = evs.groupBy(_._3 / dayMs).map { case (d, es) => d -> es.map(_._3).max }
-    val days = dayMax.keys.toSeq.sorted
-    val prefMax = days.zipWithIndex.map { case (d, i) =>
-      d -> (if (i == 0) Long.MinValue / 4 else days.take(i).map(dayMax).max)
-    }.toMap
+    val prefMax = prefixDayMax(evs.map(_._3))
     evs.groupBy(_._1).map { case (uid, es) =>
       var n = 0L; var sum = 0.0; var maxTs = Long.MinValue; var live = false
       es.groupBy(_._3 / dayMs).toSeq.sortBy(_._1).foreach { case (d, dayEs) =>
@@ -60,11 +69,7 @@ object HorizonFuzz {
     * feed shape (uid, per-day min tsMs): every emitted (uid, tMs).
     */
   def dedupTwin(byDay: Seq[(Long, Long)], horizonMs: Long): Seq[(Long, Long)] = {
-    val dayMax = byDay.groupBy(_._2 / dayMs).map { case (d, es) => d -> es.map(_._2).max }
-    val days = dayMax.keys.toSeq.sorted
-    val prefMax = days.zipWithIndex.map { case (d, i) =>
-      d -> (if (i == 0) Long.MinValue / 4 else days.take(i).map(dayMax).max)
-    }.toMap
+    val prefMax = prefixDayMax(byDay.map(_._2))
     byDay.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
       var le = Long.MinValue; var first = true
       es.sortBy(_._2).flatMap { case (_, t) =>

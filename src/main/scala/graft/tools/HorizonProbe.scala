@@ -148,6 +148,24 @@ object HorizonProbe {
       Seq((1L, "A", "2024-01-01 06:00:00"))))
     println(s"[dprobe5] rows=$d5 -> A emitted ${d5.count(_._1 == 1L)} times (1 = expiry is ts + delay)")
 
+    // DP6 (STORED event-time precision): dprobe4 cannot separate a
+    // floored watermark from surviving micros once dprobe3 established
+    // equality-evicts (both hypotheses evict), and the watermark floor
+    // itself is pinned by probe3's shared EventTimeStats machinery — the
+    // genuinely open question is the precision of the ts the STATE
+    // stores. A carries 600 MICROseconds: stored-floored expiry =
+    // 06:00:00.000 == wm -> evicted, re-emitted (2); stored-micros
+    // expiry = 06:00:00.000600 > wm 06:00:00.000 -> dropped (1).
+    // MEASURED: 1 — the dedup state keeps MICROSECOND precision, the
+    // OPPOSITE of the flatMapGroupsWithState state's Timestamp.getTime
+    // floor. The DuckDB twin's epoch_ms floor is exact only because the
+    // gate's feed is ms-exact by construction (spec-pinned).
+    val d6 = runD("d6", Seq(
+      Seq((1L, "A", "2024-01-01 05:00:00.000600")),
+      Seq((2L, "B", "2024-01-01 07:00:00")),
+      Seq((1L, "A", "2024-01-01 06:30:00"))))
+    println(s"[dprobe6] rows=$d6 -> A emitted ${d6.count(_._1 == 1L)} times (1 = state keeps MICROSECOND precision)")
+
     spark.stop()
   }
 }

@@ -395,6 +395,23 @@ class AnalysisStreamingSpec extends AnyFunSuite {
       s"expected watermark == expiry to evict (re-emit), got $rows")
   }
 
+  test("streaming: dedup horizon state keeps MICROSECOND event-time precision") {
+    // A carries 600 micros: its stored expiry is 06:00:00.000600, ABOVE
+    // the ms-floored watermark 06:00:00.000 that equality-evicts an
+    // ms-exact key (see the equality test above) — so A survives and its
+    // re-arrival is dropped (probed: dprobe6). This is the OPPOSITE of
+    // the flatMapGroupsWithState state's Timestamp.getTime ms floor, and
+    // it is WHY the stream_dedup_horizon feed must be ms-exact: a
+    // micros-carrying feed holds sub-ms expiries the DuckDB twin's
+    // epoch_ms arithmetic cannot represent.
+    val rows = runDedupBatches("dedup_micros_state", Seq(
+      Seq((1L, "A", "2024-01-01 05:00:00.000600")),
+      Seq((2L, "B", "2024-01-01 07:00:00")),
+      Seq((1L, "A", "2024-01-01 06:30:00"))))
+    assert(rows.count(_._1 == 1L) == 1,
+      s"expected the micros expiry to survive the ms-floored watermark, got $rows")
+  }
+
   test("streaming: dedup horizon expiry is event time + delay, not bare event time") {
     // A@05:00, B@06:30 -> wm 05:30. Bare-ts expiry would evict A (05:00 <=
     // 05:30) and re-emit its 06:00 arrival; probed (dprobe5): the expiry is
