@@ -305,11 +305,15 @@ object Bench {
       else {
         // names-only fallback, itself capped: a mass failure (shared
         // operator regression) could otherwise blow the capture window
-        // with 58 names where the 80-char object form already did
+        // with 58 names where the 80-char object form already did. The
+        // fallback stays an OBJECT (names -> "") so the field's JSON type
+        // never changes — a consumer indexing errors as a map must not
+        // break precisely on the mass-failure runs the field exists for.
         val names = queryErrors.keys.toSeq.sorted
-        (names.take(8).map(jsonStr) ++
-          (if (names.length > 8) Seq(jsonStr(s"+${names.length - 8} more"))
-           else Nil)).mkString("[", ",", "]")
+        (names.take(8).map(n => jsonStr(n) + ":\"\"") ++
+          (if (names.length > 8)
+             Seq(jsonStr(s"+${names.length - 8} more") + ":\"\"")
+           else Nil)).mkString("{", ",", "}")
       }
     }
     val total = results.map(_._2).filter(_ >= 0).sum

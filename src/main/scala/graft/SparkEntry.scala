@@ -1254,7 +1254,11 @@ object SparkEntry {
     // Values are floor(value*2^20)-quantized (the ann_ivf_trained trick)
     // so the in-batch double fold is order-independent and exact. At
     // sf0.01 the fixture yields ~400 evictions-with-re-arrival (measured)
-    // — the eviction path is exercised, not vacuously green.
+    // — the eviction path is exercised, not vacuously green. total_q is
+    // CAST to BIGINT because DuckDB's sum(BIGINT) returns HUGEINT — a type
+    // Spark cannot represent, and the one the driver's typed hash rejects
+    // even when every value matches (the r6 failure; the quantized day
+    // sums are far inside int64, so the cast is lossless).
     QuerySpec("stream_horizon",
       (s, dir) => graft.streaming.EventStream.replayDailyHorizon(s,
           Tables.events(s, dir).select(col("user_id"),
@@ -1279,7 +1283,8 @@ object SparkEntry {
           |sess AS (SELECT *, sum(rst) OVER (PARTITION BY user_id ORDER BY ms
           |    ROWS UNBOUNDED PRECEDING) AS sid FROM fl),
           |last AS (SELECT user_id, max(sid) AS msid FROM sess GROUP BY user_id)
-          |SELECT s.user_id, count(*) AS n_events, sum(s.q) AS total_q
+          |SELECT s.user_id, count(*) AS n_events,
+          |  CAST(sum(s.q) AS BIGINT) AS total_q
           |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.sid = l.msid
           |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin
       }),

@@ -240,7 +240,11 @@ object ConnectedComponents {
     * tuning (spec-pinned). The width sample sees only the first
     * partition(s) — fine for a memory guard on graphs with roughly
     * uniform id shapes; adversarially mixed widths should size the confs
-    * directly.
+    * directly. A cross-partition sample would not be cheap here: the RDD
+    * roots in canonMap's HashAggregate, which consumes ALL of a reduce
+    * partition's input before emitting its first row, so any
+    * per-partition head over every partition runs the full reduce stage —
+    * the exact cost the shared-RDD take() exists to avoid (BENCH.md §37).
     */
   val maxDriverGraphConfKey = "spark.graft.cc.maxDriverGraph"
   val driverByteBudgetConfKey = "spark.graft.cc.driverByteBudget"

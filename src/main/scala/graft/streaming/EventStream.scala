@@ -207,10 +207,18 @@ object EventStream {
 
   /** Shared scaffolding of the daily-replay gates: collect a bounded
     * relation bucketed by epoch UTC day — floor(epoch_ms / 86400000), NOT
-    * `date_trunc`, which follows spark.sql.session.timeZone and would move
-    * a non-UTC caller's batch boundaries (hence watermarks and evictions)
-    * off the twins' UTC-day arithmetic — then replay one micro-batch per
-    * day in day order and hand each micro-batch's rows to `sink`.
+    * `date_trunc` (which would add a SECOND session-timezone dependence on
+    * top of the one below) — then replay one micro-batch per day in day
+    * order and hand each micro-batch's rows to `sink`.
+    *
+    * Session-timezone contract: the gates' upstream
+    * `col("ts").cast("timestamp")` converts the parquet TIMESTAMP_NTZ
+    * column through spark.sql.session.timeZone, so a non-UTC CALLER
+    * session still shifts every epoch below it — bucket boundaries,
+    * watermarks, evictions — off the DuckDB twins' UTC arithmetic. The
+    * gate contract therefore requires a UTC caller session (Verify and
+    * Bench both pin it); the floor-ms bucketing cannot remove that
+    * dependence, only avoid doubling it.
     *
     * The replay runs on a CLONED session so the state-store partition
     * count can be pinned without touching the caller's conf (the CC-loop

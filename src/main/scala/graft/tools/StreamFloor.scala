@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * candidate session knobs (the §36 follow-up: after the cloned-session +
   * tmpfs-checkpoint fix the replays still pay ~120 ms/batch — is that
   * planning, WAL, state commit, or progress tracking?). Each variant runs
-  * the REAL `replayDailyDedup` on the sf0.01-shaped feed twice (warmup +
-  * timed). Knobs are set via the builder so the replay's cloned session
-  * inherits them from the SparkContext conf.
+  * the REAL `replayDailyDedup` on the sf0.01-shaped feed three times,
+  * printing every rep — read rep 1 as warmup and compare the min of reps
+  * 2-3 across variants. Knobs are set via the builder so the replay's
+  * cloned session inherits them from the SparkContext conf.
   *
   * Usage: runMain graft.tools.StreamFloor <sfDir> <variant>
   * where variant is one of base | nometrics | retain2 | asyncprogress

@@ -71,6 +71,35 @@ for name in sorted(oracle):
     if sorted(spark_cols) != sorted(duck_cols):
         fails.append((name, f"schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"))
         continue
+    # TYPE-STRICT compare (the r6 hole): the driver hashes TYPED values, so
+    # a DuckDB HUGEINT column diverges from a Spark BIGINT dump even when
+    # every value is equal — and the str(v) normalization below cannot see
+    # it. DESCRIBE both sides and require matching column types, where
+    # "matching" means the empirically driver-safe equivalence: all SIGNED
+    # ints up to 64-bit are one class (CORRECTNESS_r06 hash-passed 10
+    # queries whose Spark dump is INTEGER against DuckDB BIGINT oracles —
+    # a signed <=64-bit int survives the driver's pandas conversion as an
+    # integer value either way), while HUGEINT degrades to float64 in
+    # pandas and was the r6 hash failure. Everything else (unsigned ints,
+    # DECIMAL precision/scale, timestamp flavors) must match exactly.
+    def type_class(t):
+        return "INT<=64" if t in ("TINYINT", "SMALLINT", "INTEGER",
+                                  "BIGINT") else t
+    try:
+        s_types = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{res_dir}/*.parquet'").fetchall()}
+        d_types = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE {oracle[name]}").fetchall()}
+    except Exception as e:
+        fails.append((name, f"type describe error: {e}"))
+        continue
+    type_mismatch = [(c, s_types[c], d_types[c]) for c in sorted(s_types)
+                     if type_class(s_types[c]) != type_class(d_types.get(c))]
+    if type_mismatch:
+        fails.append((name, "output types differ (driver hashes typed values): " +
+                      ", ".join(f"{c}: spark={s} duck={d}"
+                                for c, s, d in type_mismatch)))
+        continue
     # reorder columns by sorted name, normalize, sort rows
     s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
     d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
