@@ -39,6 +39,43 @@ object SparkEntry {
   private val cleanedRel: String =
     s"(SELECT doc_id, lang, source, text, ${Text.cleanupSqlDuck("text")} AS cleaned FROM documents)"
 
+  /** [[cleanedRel]] restricted to the documents satisfying `pred` — the
+    * stream_kg twin slices the corpus per micro-batch with it.
+    */
+  private def cleanedRelWhere(pred: String): String =
+    s"(SELECT doc_id, lang, source, text, ${Text.cleanupSqlDuck("text")} AS cleaned " +
+      s"FROM documents WHERE $pred)"
+
+  /** Micro-batch count of the stream_kg gate (doc_id % this = batch key,
+    * shared by the Spark feed and the twin's slice predicates).
+    */
+  private val streamKgBatches = 3
+
+  /** The kg_triples twin body (no ORDER BY), parameterized by the cleaned
+    * docs relation: kg_triples runs it over the full corpus, stream_kg
+    * once per micro-batch slice. Output columns: subj, pred, obj, repo,
+    * lang — all VARCHAR (audit whitelist).
+    */
+  private def kgTriplesDuckBody(rel: String): String = {
+    val subj = "source || '/docs/' || CAST(doc_id AS VARCHAR) || '.txt@' || " +
+      "substr(sha256(source || '/' || CAST(doc_id AS VARCHAR)), 1, 40)"
+    s"""WITH t AS (SELECT doc_id, lang, source, label, confidence, mention FROM
+      |  ${Tagger.tagSqlDuck(Seq("doc_id", "lang", "source"), "cleaned", s"$rel c")} x),
+      |m AS (SELECT DISTINCT doc_id, lang, source, label, mention FROM t WHERE confidence >= $thr),
+      |n AS (SELECT *, ${Lemmatizer.normalizeSqlDuck("mention")} AS mention_norm FROM m),
+      |cand AS (SELECT n.doc_id, n.lang, n.source, n.label, n.mention, d.entity_id,
+      |  d.prior + CASE WHEN n.lang = d.pref_lang THEN CAST(${Tagger.langBonus} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS score
+      |  FROM n JOIN ${Tagger.aliasSqlDuck} d ON n.mention_norm = d.alias_norm
+      |  WHERE length(n.mention_norm) > 0),
+      |links AS (SELECT doc_id, lang, source, label, entity_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention, label ORDER BY score DESC, entity_id) AS rn FROM cand) w
+      |  WHERE rn = 1),
+      |dedup AS (SELECT DISTINCT doc_id, lang, source, label, entity_id FROM links)
+      |SELECT $subj AS subj, 'mentions:' || label AS pred, entity_id AS obj,
+      |  source AS repo, lang
+      |FROM dedup""".stripMargin
+  }
+
   private def taggedRel: String =
     Tagger.tagSqlDuck(Seq("doc_id", "lang"), "cleaned", s"$cleanedRel c")
 
@@ -606,24 +643,28 @@ object SparkEntry {
       (s, dir) => KgPipeline.triples(s, Tables.docsDf(s, dir),
           assumeUniqueDocs = true)
         .orderBy("subj", "pred", "obj"),
+      Some(s"${kgTriplesDuckBody(cleanedRel)} ORDER BY subj, pred, obj")),
+
+    // ---- stream_kg: the foreachBatch face of the flagship — the REAL
+    // forEachBatchTriples sink (writeStream + foreachBatch + parquet
+    // append) driven over a 3-micro-batch replay of the corpus, batches
+    // keyed by doc_id % 3 and fed in key order so batchId == the key. Docs
+    // are row-atomic through the non-canonical pipeline, so the twin is
+    // the kg_triples body per corpus slice, unioned with its batch_id —
+    // per-batch distinct included (each slice dedups within itself only).
+    QuerySpec("stream_kg",
+      (s, dir) => graft.streaming.EventStream.replayKgBatches(s,
+          Tables.docsDfWithId(s, dir)
+            .withColumn("b", pmod(col("doc_id"), lit(streamKgBatches))),
+          "b")
+        .orderBy("batch_id", "subj", "pred", "obj"),
       Some {
-        val subj = "source || '/docs/' || CAST(doc_id AS VARCHAR) || '.txt@' || " +
-          "substr(sha256(source || '/' || CAST(doc_id AS VARCHAR)), 1, 40)"
-        s"""WITH t AS (SELECT doc_id, lang, source, label, confidence, mention FROM
-          |  ${Tagger.tagSqlDuck(Seq("doc_id", "lang", "source"), "cleaned", s"$cleanedRel c")} x),
-          |m AS (SELECT DISTINCT doc_id, lang, source, label, mention FROM t WHERE confidence >= $thr),
-          |n AS (SELECT *, ${Lemmatizer.normalizeSqlDuck("mention")} AS mention_norm FROM m),
-          |cand AS (SELECT n.doc_id, n.lang, n.source, n.label, n.mention, d.entity_id,
-          |  d.prior + CASE WHEN n.lang = d.pref_lang THEN CAST(${Tagger.langBonus} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS score
-          |  FROM n JOIN ${Tagger.aliasSqlDuck} d ON n.mention_norm = d.alias_norm
-          |  WHERE length(n.mention_norm) > 0),
-          |links AS (SELECT doc_id, lang, source, label, entity_id FROM (
-          |  SELECT *, row_number() OVER (PARTITION BY doc_id, mention, label ORDER BY score DESC, entity_id) AS rn FROM cand) w
-          |  WHERE rn = 1),
-          |dedup AS (SELECT DISTINCT doc_id, lang, source, label, entity_id FROM links)
-          |SELECT $subj AS subj, 'mentions:' || label AS pred, entity_id AS obj,
-          |  source AS repo, lang
-          |FROM dedup ORDER BY subj, pred, obj""".stripMargin
+        val branches = (0 until streamKgBatches).map { b =>
+          val body = kgTriplesDuckBody(
+            cleanedRelWhere(s"doc_id % $streamKgBatches = $b"))
+          s"SELECT CAST($b AS BIGINT) AS batch_id, * FROM ($body) s$b"
+        }.mkString("\nUNION ALL\n")
+        s"SELECT * FROM (\n$branches\n) u ORDER BY batch_id, subj, pred, obj"
       }),
 
     // ---- dedup: exact (hash-groupBy) -------------------------------------

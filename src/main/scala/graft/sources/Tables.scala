@@ -44,7 +44,15 @@ object Tables {
     * Catalyst (column pruning + pushdown reach the parquet scan).
     */
   def docsDf(spark: SparkSession, dir: String): DataFrame =
+    docsDfWithId(spark, dir).drop("doc_id")
+
+  /** [[docsDf]] plus the source `doc_id` — for callers needing a
+    * deterministic per-doc key the twin can recompute (the stream_kg
+    * replay's micro-batch assignment).
+    */
+  def docsDfWithId(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir).select(
+      col("doc_id"),
       col("source").as("repo"),
       concat(lit("docs/"), col("doc_id"), lit(".txt")).as("path"),
       substring(sha2(concat_ws("/", col("source"), col("doc_id")), 256), 1, 40)

@@ -254,11 +254,7 @@ object EventStream {
     replaySession.conf.set("spark.sql.shuffle.partitions", parts.toString)
     implicit val ctx = replaySession.sqlContext
     val ms = MemoryStream[T]
-    val shm = new java.io.File("/dev/shm")
-    val chk =
-      if (shm.isDirectory && shm.canWrite)
-        java.nio.file.Files.createTempDirectory(shm.toPath, "daily-replay-chk")
-      else java.nio.file.Files.createTempDirectory("daily-replay-chk")
+    val chk = tmpfsDir("daily-replay-chk")
     val q = query(replaySession, ms.toDF().toDF(colNames: _*))
       .writeStream.outputMode(mode)
       .option("checkpointLocation", chk.toString)
@@ -267,14 +263,25 @@ object EventStream {
       }
       .start()
     try buckets.foreach { b => ms.addData(b); q.processAllAvailable() }
-    finally {
-      q.stop()
-      // best-effort temp checkpoint cleanup
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-      }
-      rm(chk.toFile)
+    finally { q.stop(); rmTree(chk) }
+  }
+
+  /** Temp dir on tmpfs when available: /tmp is a virtio disk whose fsync
+    * jitter dominates per-micro-batch latency (BENCH.md §36).
+    */
+  private def tmpfsDir(prefix: String): java.nio.file.Path = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      java.nio.file.Files.createTempDirectory(shm.toPath, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
+  /** Best-effort recursive delete of a replay temp dir. */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
     }
+    rm(p.toFile)
   }
 
   /** Finite replay of a bounded (user_id, text, ts) relation through
@@ -321,6 +328,66 @@ object EventStream {
         rows.foreach(r => buf += ((r.getLong(0), r.getTimestamp(1).getTime)))
       })
     buf.synchronized { buf.toSeq }.toDF("user_id", "t_ms")
+  }
+
+  /** Finite replay of a bounded Doc relation through
+    * [[forEachBatchTriples]] — the `stream_kg` driver gate: the corpus
+    * arrives over micro-batches keyed by `batchCol` (groups fed in
+    * ascending key order, one micro-batch per group, so foreachBatch's
+    * batchId equals the group's feed position), the REAL foreachBatch
+    * sink runs the full KG pipeline per batch and appends triples +
+    * batch_id to parquet, and the result is read back and MATERIALIZED
+    * before the temp dirs are deleted. Docs are row-atomic through the
+    * non-canonical pipeline (no cross-doc state), so each batch's triples
+    * are exactly the batch pipeline over its doc slice — the property the
+    * DuckDB twin predicts slice by slice.
+    *
+    * Same cloned-session/tmpfs shape as [[replayDaily]] (BENCH.md §36),
+    * with the shuffle-partition count derived from the collected doc
+    * count (~250 docs per partition — each batch's global distinct at
+    * fixture scale otherwise commits 32 near-empty shuffle partitions).
+    * Driver boundedness: same fixture-scale replay contract as
+    * [[replayDailyHorizon]]; production streams run [[forEachBatchTriples]]
+    * itself on a real source.
+    */
+  def replayKgBatches(spark: SparkSession, docs: DataFrame,
+      batchCol: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = docs
+      .select(col(batchCol).cast("long").as("b"), col("repo"), col("path"),
+        col("commit"), col("lang"), col("content"))
+      .collect()
+    val groups = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map(_._2.toSeq
+      .map(r => (r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5))))
+    val replaySession = spark.newSession()
+    val parts = math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.max(1, (rows.length + 249) / 250))
+    replaySession.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    implicit val ctx = replaySession.sqlContext
+    val ms = MemoryStream[(String, String, String, String, String)]
+    val out = tmpfsDir("kg-replay-out")
+    val chk = tmpfsDir("kg-replay-chk")
+    val q = forEachBatchTriples(replaySession,
+        ms.toDF().toDF("repo", "path", "commit", "lang", "content"),
+        out.toString, chk.toString)
+      .start()
+    try groups.foreach { g =>
+      // one addData per ~64-doc chunk, ONE processAllAvailable per group:
+      // MemoryStream plans one input partition per addData block and the
+      // next micro-batch consumes ALL accumulated blocks, so the chunking
+      // sets the batch's map-side parallelism without splitting the batch
+      g.grouped(64).foreach(ch => ms.addData(ch))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out.toString)
+      .select(col("subj"), col("pred"), col("obj"), col("repo"),
+        col("lang"), col("batch_id").cast("long").as("batch_id"))
+      .as[(String, String, String, String, String, Long)].collect().toSeq
+    rmTree(out); rmTree(chk)
+    got.toDF("subj", "pred", "obj", "repo", "lang", "batch_id")
   }
 
   def runningPerUserWithHorizon(spark: SparkSession, events: DataFrame,

@@ -483,6 +483,31 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming: replayKgBatches — batchId == key order, per-slice triples exact") {
+    // the stream_kg gate's harness contract: groups fed in ascending key
+    // order get batchId == key, and each micro-batch's triples are exactly
+    // the batch pipeline over its doc slice (docs are row-atomic through
+    // the non-canonical pipeline; the per-batch distinct sees only its
+    // slice). A cross-slice leak, a skipped/extra micro-batch, or an
+    // engine-initiated batch split would all break the per-b equality.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.docsDfWithId(spark, dir)
+      .withColumn("b", pmod(col("doc_id"), lit(3)))
+    val got = EventStream.replayKgBatches(spark, docs, "b")
+      .select("batch_id", "subj", "pred", "obj", "repo", "lang")
+      .as[(Long, String, String, String, String, String)].collect()
+    assert(got.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    (0 until 3).foreach { b =>
+      val slice = docs.filter(col("b") === b).drop("b", "doc_id")
+      val want = graft.pipeline.KgPipeline.triples(spark, slice)
+        .as[(String, String, String, String, String)].collect().toSet
+      val g = got.filter(_._1 == b)
+        .map(r => (r._2, r._3, r._4, r._5, r._6)).toSet
+      assert(want.nonEmpty, s"batch $b must carry triples")
+      assert(g == want, s"batch $b diverges from its batch-pipeline slice")
+    }
+  }
+
   test("streaming: mapGroupsWithState running totals match batch counts") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
