@@ -58,19 +58,32 @@ object Bench {
 
   private def jsonStr(s: String): String = JsonUtil.str(s)
 
+  /** Queries that run REAL micro-batch replays: their cost is the
+    * per-trigger engine floor (incremental planning + WAL, measured
+    * conf-independent in BENCH.md §38), which a per-query warmup run pays
+    * a second time for no steadier timed number — the JIT/classload the
+    * warmup exists for is absorbed once per session by the tiny shared
+    * streaming warmup in [[main]]. Skipping their warmup saves the sweep
+    * ~35 s of pure duplicated replay floor (15+15+3 s).
+    */
+  val replayGates: Set[String] =
+    Set("stream_horizon", "stream_dedup_horizon", "stream_kg")
+
   /** Run every query once (plan + full count), returning per-query wall
     * times and a per-query error map. A failing query records its
     * exception class + message and a sentinel -1 time — the caller must
     * surface the errors and mark the sweep total invalid rather than
-    * silently publishing a faster-looking partial sum.
+    * silently publishing a faster-looking partial sum. Queries in
+    * `skipWarmup` are timed on their single run (see [[replayGates]]).
     */
   def runQueries(spark: SparkSession, sfDir: String,
-      queries: Seq[(String, (SparkSession, String) => DataFrame)])
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      skipWarmup: String => Boolean = _ => false)
       : (Seq[(String, Double)], Map[String, String]) = {
     val errors = scala.collection.mutable.Map.empty[String, String]
     val times = queries.map { case (name, fn) =>
       val t = try {
-        fn(spark, sfDir).count()
+        if (!skipWarmup(name)) fn(spark, sfDir).count()
         time(fn(spark, sfDir).count())._2
       } catch {
         case e: Throwable =>
@@ -263,8 +276,24 @@ object Bench {
     windowLoads += loadavg()
     canonTimes += time(headlineCanon(spark, sfDir, scaleRepl))._2
     sampleHead()
+    // shared streaming warmup: ONE tiny replay (2 micro-batches over 3
+    // rows) loads the micro-batch machinery — MemoryStream, state store
+    // provider, checkpoint WAL, foreachBatch plumbing — so the replay
+    // gates below can skip their full-cost per-query warmup runs
+    // (replayGates; the engine floor they'd re-pay is JIT-independent,
+    // BENCH.md §38)
+    locally {
+      import spark.implicits._
+      graft.streaming.EventStream.replayDailyDedup(spark,
+        Seq((1L, "a", "2024-01-01 01:00:00"), (1L, "a", "2024-01-02 01:00:00"),
+          (2L, "b", "2024-01-03 01:00:00"))
+          .toDF("user_id", "text", "ts")
+          .select(col("user_id"), col("text"), col("ts").cast("timestamp")))
+        .count()
+    }
     val (results, queryErrors) =
-      runQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+      runQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1),
+        skipWarmup = replayGates)
     windowLoads += loadavg()
     canonTimes += time(headlineCanon(spark, sfDir, scaleRepl))._2
     sampleHead()
