@@ -276,8 +276,9 @@ object Bench {
     windowLoads += loadavg()
     canonTimes += time(headlineCanon(spark, sfDir, scaleRepl))._2
     sampleHead()
-    // shared streaming warmup: ONE tiny replay (2 micro-batches over 3
-    // rows) loads the micro-batch machinery — MemoryStream, state store
+    // shared streaming warmup: ONE tiny replay (3 rows over 3 UTC days =
+    // 3 data micro-batches plus the no-data eviction batches, ~1 s total)
+    // loads the micro-batch machinery — MemoryStream, state store
     // provider, checkpoint WAL, foreachBatch plumbing — so the replay
     // gates below can skip their full-cost per-query warmup runs
     // (replayGates; the engine floor they'd re-pay is JIT-independent,

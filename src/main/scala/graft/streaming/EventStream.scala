@@ -346,6 +346,14 @@ object EventStream {
     * with the shuffle-partition count derived from the collected doc
     * count (~250 docs per partition — each batch's global distinct at
     * fixture scale otherwise commits 32 near-empty shuffle partitions).
+    * It stays a separate harness rather than a [[replayDaily]] caller
+    * because the sink inverts: here the STREAM owns the output (the real
+    * foreachBatch parquet append under gate), while replayDaily hands
+    * each batch's rows to a driver-side collect sink — sharing the
+    * scaffold would mean parameterizing away exactly the writeStream
+    * plumbing this gate exists to exercise. The shared invariants
+    * (tmpfsDir, rmTree, cloned-session conf scope, one addData per
+    * bucket) are factored or mirrored deliberately.
     * Driver boundedness: same fixture-scale replay contract as
     * [[replayDailyHorizon]]; production streams run [[forEachBatchTriples]]
     * itself on a real source.
@@ -358,10 +366,20 @@ object EventStream {
       .select(col(batchCol).cast("long").as("b"), col("repo"), col("path"),
         col("commit"), col("lang"), col("content"))
       .collect()
-    val groups = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map(_._2.toSeq
+    val keyed = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    // batchId == key REQUIRES the keys to be exactly 0..n-1: foreachBatch
+    // numbers batches by feed position, so a missing residue class would
+    // silently shift every later batch_id off the twin's slice labels —
+    // fail loudly instead (the doc_id % k feed satisfies this at every SF)
+    require(keyed.map(_._1) == (0L until keyed.length.toLong),
+      s"replayKgBatches: $batchCol keys must be exactly 0..n-1, " +
+        s"got ${keyed.map(_._1).mkString(",")}")
+    val groups = keyed.map(_._2.toSeq
       .map(r => (r.getString(1), r.getString(2), r.getString(3),
         r.getString(4), r.getString(5))))
     val replaySession = spark.newSession()
+    // ~250 docs per shuffle partition (vs replayDaily's 25k events/part:
+    // doc rows carry full document text, events four scalars)
     val parts = math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
       math.max(1, (rows.length + 249) / 250))
@@ -370,24 +388,26 @@ object EventStream {
     val ms = MemoryStream[(String, String, String, String, String)]
     val out = tmpfsDir("kg-replay-out")
     val chk = tmpfsDir("kg-replay-chk")
-    val q = forEachBatchTriples(replaySession,
-        ms.toDF().toDF("repo", "path", "commit", "lang", "content"),
-        out.toString, chk.toString)
-      .start()
-    try groups.foreach { g =>
-      // one addData per ~64-doc chunk, ONE processAllAvailable per group:
-      // MemoryStream plans one input partition per addData block and the
-      // next micro-batch consumes ALL accumulated blocks, so the chunking
-      // sets the batch's map-side parallelism without splitting the batch
-      g.grouped(64).foreach(ch => ms.addData(ch))
-      q.processAllAvailable()
-    } finally q.stop()
-    val got = spark.read.parquet(out.toString)
-      .select(col("subj"), col("pred"), col("obj"), col("repo"),
-        col("lang"), col("batch_id").cast("long").as("batch_id"))
-      .as[(String, String, String, String, String, Long)].collect().toSeq
-    rmTree(out); rmTree(chk)
-    got.toDF("subj", "pred", "obj", "repo", "lang", "batch_id")
+    try {
+      val q = forEachBatchTriples(replaySession,
+          ms.toDF().toDF("repo", "path", "commit", "lang", "content"),
+          out.toString, chk.toString)
+        .start()
+      // ONE addData per group (the replayDaily pattern): a block is
+      // atomic, so the continuously-polling trigger cannot split a group
+      // across two micro-batches — multiple addData calls per group would
+      // race the poll loop and shift batchIds intermittently. (Map-side
+      // parallelism inside a batch is the one block's partition; this is
+      // a fixture-scale gate, the per-batch map work is sub-second.)
+      try groups.foreach { g => ms.addData(g); q.processAllAvailable() }
+      finally q.stop()
+      // materialize before the tmpfs output dir is deleted below
+      spark.read.parquet(out.toString)
+        .select(col("subj"), col("pred"), col("obj"), col("repo"),
+          col("lang"), col("batch_id").cast("long").as("batch_id"))
+        .as[(String, String, String, String, String, Long)].collect().toSeq
+        .toDF("subj", "pred", "obj", "repo", "lang", "batch_id")
+    } finally { rmTree(out); rmTree(chk) }
   }
 
   def runningPerUserWithHorizon(spark: SparkSession, events: DataFrame,
