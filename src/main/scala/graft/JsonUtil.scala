@@ -7,6 +7,14 @@ package graft
   * the driver's json.load fail.
   */
 object JsonUtil {
+  /** String→string map as a JSON object — the oracle_sql.json shape.
+    * One copy shared by Verify (what the driver gate runs) and
+    * DumpOracleSql (what the type audit pre-checks): serialization drift
+    * between them would make the audit check different SQL than ships.
+    */
+  def obj(m: Map[String, String]): String =
+    m.map { case (k, v) => s"${str(k)}: ${str(v)}" }.mkString("{", ",", "}")
+
   def str(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"

@@ -36,15 +36,17 @@ object SparkEntry {
   // Shared SQL fragments (DuckDB dialect), generated from engine constants.
   // ---------------------------------------------------------------------
 
-  private val cleanedRel: String =
-    s"(SELECT doc_id, lang, source, text, ${Text.cleanupSqlDuck("text")} AS cleaned FROM documents)"
-
-  /** [[cleanedRel]] restricted to the documents satisfying `pred` — the
-    * stream_kg twin slices the corpus per micro-batch with it.
+  /** The cleaned-docs relation restricted to the documents satisfying
+    * `pred` — the stream_kg twin slices the corpus per micro-batch with it.
     */
   private def cleanedRelWhere(pred: String): String =
     s"(SELECT doc_id, lang, source, text, ${Text.cleanupSqlDuck("text")} AS cleaned " +
       s"FROM documents WHERE $pred)"
+
+  /** The full cleaned-docs relation — ONE body with [[cleanedRelWhere]]
+    * (a second copy of the projection would let the two drift apart).
+    */
+  private val cleanedRel: String = cleanedRelWhere("TRUE")
 
   /** Micro-batch count of the stream_kg gate (doc_id % this = batch key,
     * shared by the Spark feed and the twin's slice predicates).
@@ -662,7 +664,11 @@ object SparkEntry {
         val branches = (0 until streamKgBatches).map { b =>
           val body = kgTriplesDuckBody(
             cleanedRelWhere(s"doc_id % $streamKgBatches = $b"))
-          s"SELECT CAST($b AS BIGINT) AS batch_id, * FROM ($body) s$b"
+          // batch_id LAST: the Spark dump's physical column order ends
+          // with batch_id, and every other gate keeps the two sides'
+          // order identical — don't make this the one probe of whether
+          // the driver's hash is column-order-insensitive
+          s"SELECT *, CAST($b AS BIGINT) AS batch_id FROM ($body) s$b"
         }.mkString("\nUNION ALL\n")
         s"SELECT * FROM (\n$branches\n) u ORDER BY batch_id, subj, pred, obj"
       }),

@@ -36,10 +36,8 @@ object Verify {
         false
       }
     }
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${JsonUtil.str(k)}: ${JsonUtil.str(v)}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      JsonUtil.obj(SparkEntry.oracleSql))
     // manifest of THIS run's SUCCESSFUL dumps: check_oracle.py's
     // --only-existing guard uses it to tell freshly-dumped dirs from stale
     // leftovers of a previous full run (a subset dump of only rows-only

@@ -366,6 +366,10 @@ object EventStream {
       .select(col(batchCol).cast("long").as("b"), col("repo"), col("path"),
         col("commit"), col("lang"), col("content"))
       .collect()
+    // an all-empty feed would pass the 0..n-1 key check vacuously, write
+    // no part files, and surface as an obscure parquet schema-inference
+    // error on the read-back below — fail with the actual cause instead
+    require(rows.nonEmpty, "replayKgBatches: empty docs feed")
     val keyed = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
     // batchId == key REQUIRES the keys to be exactly 0..n-1: foreachBatch
     // numbers batches by feed position, so a missing residue class would
@@ -386,28 +390,33 @@ object EventStream {
     replaySession.conf.set("spark.sql.shuffle.partitions", parts.toString)
     implicit val ctx = replaySession.sqlContext
     val ms = MemoryStream[(String, String, String, String, String)]
+    // per-resource try nesting: if creating `chk` throws, `out` must not
+    // leak on tmpfs (repeated gate failures would accumulate RAM-backed
+    // dirs the bench depends on)
     val out = tmpfsDir("kg-replay-out")
-    val chk = tmpfsDir("kg-replay-chk")
     try {
-      val q = forEachBatchTriples(replaySession,
-          ms.toDF().toDF("repo", "path", "commit", "lang", "content"),
-          out.toString, chk.toString)
-        .start()
-      // ONE addData per group (the replayDaily pattern): a block is
-      // atomic, so the continuously-polling trigger cannot split a group
-      // across two micro-batches — multiple addData calls per group would
-      // race the poll loop and shift batchIds intermittently. (Map-side
-      // parallelism inside a batch is the one block's partition; this is
-      // a fixture-scale gate, the per-batch map work is sub-second.)
-      try groups.foreach { g => ms.addData(g); q.processAllAvailable() }
-      finally q.stop()
-      // materialize before the tmpfs output dir is deleted below
-      spark.read.parquet(out.toString)
-        .select(col("subj"), col("pred"), col("obj"), col("repo"),
-          col("lang"), col("batch_id").cast("long").as("batch_id"))
-        .as[(String, String, String, String, String, Long)].collect().toSeq
-        .toDF("subj", "pred", "obj", "repo", "lang", "batch_id")
-    } finally { rmTree(out); rmTree(chk) }
+      val chk = tmpfsDir("kg-replay-chk")
+      try {
+        val q = forEachBatchTriples(replaySession,
+            ms.toDF().toDF("repo", "path", "commit", "lang", "content"),
+            out.toString, chk.toString)
+          .start()
+        // ONE addData per group (the replayDaily pattern): a block is
+        // atomic, so the continuously-polling trigger cannot split a group
+        // across two micro-batches — multiple addData calls per group would
+        // race the poll loop and shift batchIds intermittently. (Map-side
+        // parallelism inside a batch is the one block's partition; this is
+        // a fixture-scale gate, the per-batch map work is sub-second.)
+        try groups.foreach { g => ms.addData(g); q.processAllAvailable() }
+        finally q.stop()
+        // materialize before the tmpfs output dir is deleted below
+        spark.read.parquet(out.toString)
+          .select(col("subj"), col("pred"), col("obj"), col("repo"),
+            col("lang"), col("batch_id").cast("long").as("batch_id"))
+          .as[(String, String, String, String, String, Long)].collect().toSeq
+          .toDF("subj", "pred", "obj", "repo", "lang", "batch_id")
+      } finally rmTree(chk)
+    } finally rmTree(out)
   }
 
   def runningPerUserWithHorizon(spark: SparkSession, events: DataFrame,

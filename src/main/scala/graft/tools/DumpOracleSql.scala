@@ -17,10 +17,7 @@ object DumpOracleSql {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/oracle_sql.json")
     val sql = graft.SparkEntry.oracleSql
-    val json = sql
-      .map { case (k, v) => s"${graft.JsonUtil.str(k)}: ${graft.JsonUtil.str(v)}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(out), json)
+    Files.writeString(Paths.get(out), graft.JsonUtil.obj(sql))
     println(s"[oracle-sql] ${sql.size} queries -> $out")
   }
 }

@@ -93,7 +93,7 @@ for name in sorted(oracle):
     except Exception as e:
         fails.append((name, f"type describe error: {e}"))
         continue
-    type_mismatch = [(c, s_types[c], d_types[c]) for c in sorted(s_types)
+    type_mismatch = [(c, s_types[c], d_types.get(c)) for c in sorted(s_types)
                      if type_class(s_types[c]) != type_class(d_types.get(c))]
     if type_mismatch:
         fails.append((name, "output types differ (driver hashes typed values): " +
