@@ -655,9 +655,15 @@ object SparkEntry {
     // the kg_triples body per corpus slice, unioned with its batch_id —
     // per-batch distinct included (each slice dedups within itself only).
     QuerySpec("stream_kg",
+      // `%` (Remainder), NOT pmod: DuckDB's % keeps the dividend's sign
+      // like Spark's %, so the twin's `doc_id % 3 = b` predicates match
+      // the feed's keys under IDENTICAL arithmetic even for a negative
+      // doc_id (where pmod would silently route the doc into a slice no
+      // twin predicate selects; the 0..n-1 key guard then fails loudly
+      // on both engines' semantics consistently)
       (s, dir) => graft.streaming.EventStream.replayKgBatches(s,
           Tables.docsDfWithId(s, dir)
-            .withColumn("b", pmod(col("doc_id"), lit(streamKgBatches))),
+            .withColumn("b", col("doc_id") % streamKgBatches),
           "b")
         .orderBy("batch_id", "subj", "pred", "obj"),
       Some {

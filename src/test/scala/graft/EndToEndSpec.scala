@@ -344,6 +344,14 @@ class EndToEndSpec extends AnyFunSuite {
     assert(chunks.exists(c => c._1 == "p1" && c._3 == ""))
   }
 
+  test("Bench.replayGates names real queries (a rename must not silently re-add warmup cost)") {
+    // skipWarmup matches by name: a renamed gate absent from this set
+    // would quietly run its full replay twice per sweep again (~35 s,
+    // BENCH.md §39) with nothing flagging the drift
+    val unknown = Bench.replayGates.diff(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"replayGates not in SparkEntry.queries: $unknown")
+  }
+
   test("sentence-level pipeline == doc-level pipeline on the driver corpus") {
     // chunk granularity vanishes in the group-by (A4, ner.py:196-203):
     // driver docs have no sentence punctuation, so both paths agree exactly

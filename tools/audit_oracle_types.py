@@ -39,6 +39,11 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(oracle_path))
+if not oracle:
+    # an empty/stale dump would otherwise pass vacuously — the exact
+    # vacuous-green class check_oracle.py's manifest guard closes
+    print(f"FAIL: zero oracles in {oracle_path} (stale or empty dump?)")
+    sys.exit(1)
 bad, errs = [], []
 for name in sorted(oracle):
     try:
