@@ -285,7 +285,11 @@ object Bench {
     // BENCH.md §38). Best-effort: a warmup failure must NOT abort the
     // bench before the summary line prints — the gates themselves run
     // inside runQueries' per-query try/catch and would surface the same
-    // breakage as recorded errors (they just run cold).
+    // breakage as recorded errors (they just run cold). The summary JSON
+    // carries stream_warmup_ok so a cold-gate run is visible in the
+    // ARTIFACT, not only on stderr — inflated replay-gate times from a
+    // failed warmup must not read as a code regression round-over-round.
+    var streamWarmupOk = true
     try {
       import spark.implicits._
       graft.streaming.EventStream.replayDailyDedup(spark,
@@ -306,6 +310,7 @@ object Bench {
         .count()
     } catch {
       case scala.util.control.NonFatal(e) =>
+        streamWarmupOk = false
         System.err.println(
           s"[bench] streaming warmup failed (replay gates run cold): $e")
     }
@@ -394,6 +399,7 @@ object Bench {
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,""" +
       s""""errors":$errsJson,"errors_count":${queryErrors.size},""" +
       s""""total_valid":${queryErrors.isEmpty},""" +
+      s""""stream_warmup_ok":$streamWarmupOk,""" +
       s""""sf":"$sfDir","triples_per_sec":${f"$tputHead%.1f"},""" +
       s""""triples_per_sec_canon":${f"$tputCanon%.1f"},""" +
       s""""triples_canon":$triplesCanon,""" +

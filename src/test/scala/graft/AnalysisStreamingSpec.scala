@@ -492,7 +492,7 @@ class AnalysisStreamingSpec extends AnyFunSuite {
     // engine-initiated batch split would all break the per-b equality.
     val dir = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.docsDfWithId(spark, dir)
-      .withColumn("b", pmod(col("doc_id"), lit(3)))
+      .withColumn("b", col("doc_id") % 3) // `%` like the shipped gate, NOT pmod
     val got = EventStream.replayKgBatches(spark, docs, "b")
       .select("batch_id", "subj", "pred", "obj", "repo", "lang")
       .as[(Long, String, String, String, String, String)].collect()

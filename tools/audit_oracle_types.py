@@ -27,11 +27,11 @@ import sys
 
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from driver_types import WHITELIST  # one copy shared with check_oracle.py
+
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 oracle_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/oracle_sql.json"
-
-WHITELIST = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-             "DOUBLE", "VARCHAR", "DECIMAL(18,2)"}
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):

@@ -5,6 +5,9 @@ compare (column names sorted, rows sorted, values normalized)."""
 import json, math, sys, glob, os
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from driver_types import type_class  # one copy shared with audit_oracle_types.py
+
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
@@ -82,9 +85,7 @@ for name in sorted(oracle):
     # integer value either way), while HUGEINT degrades to float64 in
     # pandas and was the r6 hash failure. Everything else (unsigned ints,
     # DECIMAL precision/scale, timestamp flavors) must match exactly.
-    def type_class(t):
-        return "INT<=64" if t in ("TINYINT", "SMALLINT", "INTEGER",
-                                  "BIGINT") else t
+    # type_class comes from driver_types (shared with the pre-code audit).
     try:
         s_types = {r[0]: r[1] for r in con.execute(
             f"DESCRIBE SELECT * FROM '{res_dir}/*.parquet'").fetchall()}
