@@ -11,14 +11,11 @@ The class this closes (the r6 sole hash failure): DuckDB `sum(BIGINT)`
 returns HUGEINT — pandas degrades int128 to float64, so the driver's typed
 hash diverges from Spark's BIGINT even when every value matches, while the
 str(v)-normalizing row compare in check_oracle.py sees nothing. The
-whitelist is the set every current oracle emits AND the driver provably
-hashes equal to the Spark parquet dump (signed ints <= 64-bit collapse to
-one class driver-side; see check_oracle.py's type_class note):
-  signed ints (TINYINT/SMALLINT/INTEGER/BIGINT), DOUBLE, VARCHAR,
-  DECIMAL(18,2).
-Anything else — HUGEINT, unsigned ints, other decimal shapes, timestamps,
-arrays/structs — fails loudly here; either cast it in the oracle SQL or
-consciously extend the whitelist WITH driver evidence.
+whitelist (ONE copy, shared with check_oracle.py: tools/driver_types.py)
+is the set every current oracle emits AND the driver provably hashes equal
+to the Spark parquet dump. Anything else — HUGEINT, unsigned ints, other
+decimal shapes, timestamps, arrays/structs — fails loudly here; either
+cast it in the oracle SQL or extend driver_types.py WITH driver evidence.
 """
 import glob
 import json
