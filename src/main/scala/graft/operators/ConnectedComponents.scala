@@ -23,10 +23,18 @@ import org.apache.spark.sql.graft.CheckpointBridge
   *    AQE-off with a pinned partition count so the edge relation shuffles
   *    and sorts once for the whole loop instead of once per round; each
   *    round releases the superseded round's checkpoint blocks;
-  *  - salting of hot vertices before the neighbor aggregation — skew
-  *    mitigation the north rule mandates for hot entities: the
-  *    min-neighbor-label aggregate is computed per (vertex, salt) first,
-  *    so a celebrity vertex's edges spread over `salts` reducers;
+  *  - OPT-IN salting of hot vertices before the neighbor aggregation
+  *    (`salts > 1`): the min-neighbor-label aggregate is computed per
+  *    (vertex, salt) first, spreading a celebrity vertex's edges over
+  *    `salts` reducers. Default OFF since the 50M-edge A/B (BENCH.md
+  *    §42): `min` is algebraic, so HashAggregate's map-side partials
+  *    already cap hot-key reduce fan-in at one row per map partition,
+  *    and the salt stage's extra O(E) exchange per round measured +30%
+  *    wall / +43% executor time at 10M-degree hubs for protection the
+  *    partial agg had already provided. Skew mitigation for hot
+  *    entities thus lives in Spark's standard partial+final
+  *    HashAggregate split; explicit salting remains for non-algebraic
+  *    aggregates or engines without partial pushdown;
   *  - convergence detection by counting changed labels (fixpoint test);
   *    non-convergence within `maxIter` THROWS — a silently-unconverged
   *    canonical map would corrupt every downstream triple.
@@ -49,7 +57,7 @@ object ConnectedComponents {
       s, org.apache.spark.sql.graft.ColumnBridge.logicalPlan(df))
 
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30,
-      salts: Int = 8, vertices: Option[DataFrame] = None): DataFrame = {
+      salts: Int = 1, vertices: Option[DataFrame] = None): DataFrame = {
     // The loop runs on a CLONED session (spark.newSession()) with AQE
     // OFF and a pinned shuffle-partition count: `Dataset.localCheckpoint`
     // loses partitioning metadata (stale attributes without AQE,
@@ -123,14 +131,16 @@ object ConnectedComponents {
       var converged = false
       while (iter < maxIter && !converged) {
         // hop: candidate = min(own component, min over neighbors'
-        // components), computed skew-aware: pre-aggregate per (dst, salt)
-        // bucket first. `salts <= 1` skips the salt stage entirely — `min`
-        // is algebraic, so HashAggregate's map-side partial already caps a
-        // hot vertex's reduce fan-in at one row per map partition (the same
-        // bound explicit salting buys) while shuffling one exchange less
-        // per iteration; the salted formulation is kept for aggregates/
-        // engines without partial pushdown and as the measured A/B
-        // (BENCH.md §28). sym and labels are co-partitioned (and co-sorted)
+        // components). The DEFAULT (salts <= 1) relies on HashAggregate's
+        // map-side partial for skew: `min` is algebraic, so a hot vertex's
+        // reduce fan-in is already capped at one row per map partition —
+        // the same bound explicit salting buys — while shuffling one
+        // exchange less per iteration. Measured: at 6M edges the two arms
+        // were noise-equivalent (§28); at 50M edges the salt stage's extra
+        // O(E) exchange cost +30% wall / +43% executor time at 10M-degree
+        // hubs (§42), so salted became the OPT-IN (non-algebraic
+        // aggregates, engines without partial pushdown) rather than the
+        // default. sym and labels are co-partitioned (and co-sorted)
         // on the join key, so this join moves no rows.
         val joined = sym.df.join(labels.df.withColumnRenamed("id", "src"), "src")
         val withNbr =
