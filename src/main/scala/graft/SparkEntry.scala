@@ -376,7 +376,7 @@ object SparkEntry {
     QuerySpec("g4_spans",
       (s, dir) => cleanedDocs(s, dir)
         .select(col("doc_id"),
-          explode(Tagger.tagWithSpansUdf(s)(col("cleaned"))).as("e"))
+          explode(Tagger.tagSpansCol(s, col("cleaned"))).as("e"))
         .select(col("doc_id"), col("e.label").as("label"),
           col("e.confidence").as("confidence"),
           col("e.text").as("mention"),

@@ -37,7 +37,9 @@ final class LiteralScanner private[graft] (alts: Seq[Tagger.SpanAlt])
     extends Serializable {
 
   private case class Alt(literal: String, leftB: Boolean, rightB: Boolean,
-      suffix: Array[Boolean], fullLen: Int, row: InternalRow)
+      suffix: Array[Boolean], fullLen: Int, groupLen: Int,
+      labelU: UTF8String, mentionU: UTF8String, confidence: Double,
+      row: InternalRow)
 
   /** Parse a char-class body like `a-zäöüA-Z` into a BMP membership table
     * (boolean array up to the max char, all classes in the pattern set are
@@ -62,12 +64,12 @@ final class LiteralScanner private[graft] (alts: Seq[Tagger.SpanAlt])
     val grouped = alts.groupBy(_.pat)
     (0 to (if (alts.isEmpty) -1 else alts.map(_.pat).max)).map { pi =>
       grouped.getOrElse(pi, Seq.empty).sortBy(_.alt).map { a =>
+        val labelU = UTF8String.fromString(a.label)
+        val mentionU = UTF8String.fromString(a.literal)
         Alt(a.literal, a.leftB, a.rightB,
           a.suffixClass.map(parseClass).orNull,
-          a.fullLen,
-          new GenericInternalRow(Array[Any](
-            UTF8String.fromString(a.label), a.confidence,
-            UTF8String.fromString(a.literal))))
+          a.fullLen, a.groupLen, labelU, mentionU, a.confidence,
+          new GenericInternalRow(Array[Any](labelU, a.confidence, mentionU)))
       }.toArray
     }.toArray
   }
@@ -99,12 +101,14 @@ final class LiteralScanner private[graft] (alts: Seq[Tagger.SpanAlt])
     -1
   }
 
-  /** All matches of all patterns over `text`, as
-    * `array<struct<label:string, confidence:double, mention:string>>`.
+  /** The `Matcher.find`-equivalent merge loop, factored ONCE for the two
+    * emission shapes ([[scan]] / [[scanSpans]]): leftmost start wins, first
+    * listed alternative breaks ties, cursor jumps past the FULL match.
+    * `emit` receives the winning alternative and its match start (UTF-16
+    * code-unit offset, Java `String.indexOf` units — the same units
+    * `Matcher.start` reports).
     */
-  def scan(text: UTF8String): ArrayData = {
-    val s = text.toString
-    val out = new java.util.ArrayList[Any]()
+  private def scanWith(s: String, emit: (Alt, Int) => Unit): Unit = {
     var pi = 0
     while (pi < byPattern.length) {
       val pa = byPattern(pi)
@@ -125,7 +129,7 @@ final class LiteralScanner private[graft] (alts: Seq[Tagger.SpanAlt])
         }
         if (best < 0) done = true
         else {
-          out.add(pa(bestAlt).row)
+          emit(pa(bestAlt), best)
           val pos = best + pa(bestAlt).fullLen
           i = 0
           while (i < k) {
@@ -136,6 +140,33 @@ final class LiteralScanner private[graft] (alts: Seq[Tagger.SpanAlt])
       }
       pi += 1
     }
+  }
+
+  /** All matches of all patterns over `text`, as
+    * `array<struct<label:string, confidence:double, mention:string>>`.
+    */
+  def scan(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[Any]()
+    scanWith(s, (a, _) => out.add(a.row))
+    new GenericArrayData(out.toArray)
+  }
+
+  /** All matches WITH character spans, as
+    * `array<struct<text, label, confidence, begin:int, end:int>>` — the
+    * [[graft.model.Entity]] field shape the span UDF
+    * ([[graft.operators.Tagger.tagWithSpansUdf]]) emits. begin/end are the
+    * GROUP's offsets (`Matcher.start(group)`/`end(group)`): for the
+    * shape-B context pattern the group is the leading literal, so both
+    * shapes span exactly the emitted mention text. Unlike [[scan]]'s
+    * per-alternative constant rows, a span row is allocated per match
+    * (positions vary); label/mention strings are still shared per alt.
+    */
+  def scanSpans(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[Any]()
+    scanWith(s, (a, p) => out.add(new GenericInternalRow(Array[Any](
+      a.mentionU, a.labelU, a.confidence, p, p + a.groupLen))))
     new GenericArrayData(out.toArray)
   }
 }

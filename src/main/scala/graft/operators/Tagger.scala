@@ -318,6 +318,22 @@ object Tagger {
     udf((text: String) => if (text == null) Seq.empty[Entity] else tagScalar(text))
   }
 
+  /** Span-true tagging as a Column: the native literal-scan kernel
+    * ([[graft.expressions.TagSpans]]) when the pattern set is in the
+    * supported literal subset (the shipped set is), the UDF formulation
+    * otherwise — the same fast-path/fallback split as [[tagMentionsWith]].
+    * Row set, spans, AND per-row order are identical to the UDF path
+    * (randomized spec in TaggerMiddlewareSpec; the UDF stays as the parity
+    * twin per the kernel contract). Null text yields no surviving rows on
+    * either path (kernel: null array; UDF: empty array — `explode` drops
+    * both).
+    */
+  def tagSpansCol(spark: SparkSession, c: Column): Column =
+    graft.expressions.LiteralScanner.forPatterns(patterns) match {
+      case Some(scanner) => graft.expressions.TagSpans.tag_spans(c, scanner)
+      case None => tagWithSpansUdf(spark)(c)
+    }
+
   /** Broadcast alias dictionary as a DataFrame (J2 build side). */
   def aliasDf(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -136,6 +136,47 @@ class TaggerMiddlewareSpec extends AnyFunSuite {
     assert(viaScan.exists(_.nonEmpty))
   }
 
+  test("G4 span kernel == span UDF: rows, spans, and order on boundary-stress text") {
+    // TagSpans (the native literal-scan kernel behind g4_spans since r8)
+    // against its parity twin tagWithSpansUdf (= per-row tagScalar, real
+    // java.util.regex): EXACT array equality per row — text, label,
+    // confidence, begin/end offsets, and emission order. Same
+    // boundary-hostile fuzz recipe as the mention-path spec above, plus
+    // the span-sensitive edges (shape-B context group, overlap chains,
+    // adjacent matches with no glue).
+    val vocab = Seq("customer", "Anton Schwarz", "Elisabeth II.", "spark",
+      "hash join", "merge", "stream", "vector", "Dresden", "the window",
+      "window", "table scan", "\"Traumwerkstadt\"", "Traumwerkstadt", "dup",
+      "sparky", "xspark", "II", "Elisabeth", "wind", "owindow", "foo")
+    val glue = Seq(" ", "", ". ", " x", "x ", "? ", "_", "-")
+    val rnd = new scala.util.Random(29)
+    val texts = (1 to 400).map { _ =>
+      (1 to (1 + rnd.nextInt(12))).map(_ =>
+        vocab(rnd.nextInt(vocab.length)) + glue(rnd.nextInt(glue.length))
+      ).mkString
+    } ++ Seq(anton, elisabeth, elisabethQuoted, "Elisabeth II. x",
+      "Elisabeth II.x", "the window window window", "window", "")
+    val df = texts.zipWithIndex.toDF("t", "id")
+    val scanner = graft.expressions.LiteralScanner.forPatterns(Tagger.patterns).get
+    def dump(c: org.apache.spark.sql.Column): Seq[(Int, Seq[String])] =
+      df.select(col("id"), c.as("es"))
+        .selectExpr("id", "transform(es, e -> concat_ws('|', e.text, e.label, " +
+          "CAST(e.confidence AS STRING), CAST(e.begin AS STRING), " +
+          "CAST(e.end AS STRING)))")
+        .as[(Int, Seq[String])].collect().sortBy(_._1).toSeq
+    val viaKernel = dump(graft.expressions.TagSpans.tag_spans(col("t"), scanner))
+    val viaUdf = dump(Tagger.tagWithSpansUdf(spark)(col("t")))
+    assert(viaKernel == viaUdf)
+    assert(viaKernel.exists(_._2.nonEmpty))
+    // null text: kernel yields a null array, UDF an empty one — identical
+    // after the explode both call sites apply (zero surviving rows each)
+    val nullDf = Seq((1, null: String)).toDF("id", "t")
+    def exploded(c: org.apache.spark.sql.Column): Long =
+      nullDf.select(explode(c.as("es"))).count()
+    assert(exploded(graft.expressions.TagSpans.tag_spans(col("t"), scanner)) == 0L)
+    assert(exploded(Tagger.tagWithSpansUdf(spark)(col("t"))) == 0L)
+  }
+
   test("P4 threshold boundary: conf >= 0.95 kept, 0.90 dropped (middleware.py:62)") {
     val rows = Seq(
       ("d1", "A", "x", 0.95), ("d1", "B", "y", 0.9499999), ("d1", "C", "z", 0.90))
