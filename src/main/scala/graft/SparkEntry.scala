@@ -83,6 +83,27 @@ object SparkEntry {
 
   private val thr = Tagger.threshold
 
+  /** Scale-adaptive parallelism floor for expensive 1:1 per-doc stages
+    * (the real-codec mm_* decodes): the fixture `documents` table is ONE
+    * tiny parquet file = one input split, so a decode lineage with no
+    * intermediate exchange runs ALL its per-row codec work in a single
+    * task — and the final ORDER BY's range-partitioner sampling pass
+    * executes that serial lineage a SECOND time before the exchange
+    * recomputes it (both passes serial: measured 2.9x on mm_video,
+    * OPTIMIZATION_r08.md). Spreading the base rows round-robin across the
+    * app's cores parallelizes both passes; the exchange moves only the
+    * narrow (doc_id, text) scan output, the smallest relation in those
+    * lineages. CONDITIONAL on the scan arriving under the app's
+    * parallelism: a many-file production media table inherits its splits
+    * and skips the exchange entirely, so this is a parallelism FLOOR, not
+    * a local-mode constant (guide §2.5 "input skew: one huge unsplittable
+    * file — repartition immediately after the read").
+    */
+  private def spreadDocs(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   // Spark-side cleaned documents (doc_id, lang, source, cleaned)
   private def cleanedDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -1034,7 +1055,7 @@ object SparkEntry {
     // same sha256 derivation — encoder or decoder format bugs diverge.
     QuerySpec("mm_decode",
       (s, dir) => Multimodal.decodeMeta(s,
-          Multimodal.withBmpPayload(Tables.documents(s, dir)))
+          Multimodal.withBmpPayload(spreadDocs(s, Tables.documents(s, dir))))
         .toDF().orderBy("doc_id"),
       Some {
         val (w, h) = Multimodal.dimsSqlDuck("text")
@@ -1075,7 +1096,7 @@ object SparkEntry {
     // even-coordinate pixels).
     QuerySpec("mm_resize",
       (s, dir) => Multimodal.resizeHalf(s,
-          Multimodal.withBmpPayload(Tables.documents(s, dir)))
+          Multimodal.withBmpPayload(spreadDocs(s, Tables.documents(s, dir))))
         .toDF().orderBy("doc_id"),
       Some {
         val (w, h) = Multimodal.dimsSqlDuck("text")
@@ -1113,7 +1134,7 @@ object SparkEntry {
     // per-frame decode is a real codec pass (each kept frame is read).
     QuerySpec("mm_video",
       (s, dir) => Multimodal.decodeVideoMeta(s,
-          Multimodal.withGifPayload(Tables.documents(s, dir)))
+          Multimodal.withGifPayload(spreadDocs(s, Tables.documents(s, dir))))
         .toDF().orderBy("doc_id"),
       Some {
         val (w, h) = Multimodal.dimsSqlDuck("text")
@@ -1130,7 +1151,7 @@ object SparkEntry {
     // verifies the decode down to pixel CONTENT, not just dims/lengths.
     QuerySpec("mm_pixels",
       (s, dir) => Multimodal.pixelStats(s,
-          Multimodal.withBmpPayloadHexSeed(Tables.documents(s, dir)))
+          Multimodal.withBmpPayloadHexSeed(spreadDocs(s, Tables.documents(s, dir))))
         .toDF().orderBy("doc_id"),
       Some {
         val (w, h) = Multimodal.dimsSqlDuck("text")
