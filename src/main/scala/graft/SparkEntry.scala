@@ -89,7 +89,7 @@ object SparkEntry {
     * intermediate exchange runs ALL its per-row codec work in a single
     * task — and the final ORDER BY's range-partitioner sampling pass
     * executes that serial lineage a SECOND time before the exchange
-    * recomputes it (both passes serial: measured 2.9x on mm_video,
+    * recomputes it (both passes serial: measured ~2.6x on mm_video,
     * OPTIMIZATION_r08.md). Spreading the base rows round-robin across the
     * app's cores parallelizes both passes; the exchange moves only the
     * narrow (doc_id, text) scan output, the smallest relation in those
