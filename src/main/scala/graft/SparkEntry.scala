@@ -87,17 +87,20 @@ object SparkEntry {
     * (the real-codec mm_* decodes): the fixture `documents` table is ONE
     * tiny parquet file = one input split, so a decode lineage with no
     * intermediate exchange runs ALL its per-row codec work in a single
-    * task — and the final ORDER BY's range-partitioner sampling pass
-    * executes that serial lineage a SECOND time before the exchange
-    * recomputes it (both passes serial: measured ~2.6x on mm_video,
-    * OPTIMIZATION_r08.md). Spreading the base rows round-robin across the
-    * app's cores parallelizes both passes; the exchange moves only the
-    * narrow (doc_id, text) scan output, the smallest relation in those
-    * lineages. CONDITIONAL on the scan arriving under the app's
-    * parallelism: a many-file production media table inherits its splits
-    * and skips the exchange entirely, so this is a parallelism FLOOR, not
-    * a local-mode constant (guide §2.5 "input skew: one huge unsplittable
-    * file — repartition immediately after the read").
+    * task. On the WRITE/dump path the final ORDER BY's range-partitioner
+    * sampling pass executes that serial lineage a SECOND time before the
+    * exchange recomputes it (noop-sink timing reads ~1.9x the count-action
+    * timing, whose optimized plan drops the sort — both measured,
+    * OPTIMIZATION_r08.md / graft.BenchExtra). Spreading the base rows
+    * round-robin across the app's cores parallelizes every pass either
+    * action runs (mm_video ~2.2x under count, ~3.6x under noop); the
+    * exchange moves only the narrow (doc_id, text) scan output, the
+    * smallest relation in those lineages. CONDITIONAL on the scan arriving
+    * under the app's parallelism: a many-file production media table
+    * inherits its splits and skips the exchange entirely, so this is a
+    * parallelism FLOOR, not a local-mode constant (guide §2.5 "input skew:
+    * one huge unsplittable file — repartition immediately after the
+    * read").
     */
   private def spreadDocs(s: SparkSession, df: DataFrame): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
