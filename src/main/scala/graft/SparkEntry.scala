@@ -610,21 +610,23 @@ object SparkEntry {
 
     // ---- J3 (distributed path): the SAME canonicalization (shared
     // canonQuery/canonSqlDuck — one definition, two registry entries) with
-    // the driver-graph guard pinned to 1, so runAuto's limit-probe
-    // overflows and the pointer-doubling loop — the path a >2M-edge
-    // production graph actually executes — produces the DuckDB-green row
-    // itself. The conf is set/restored INSIDE the impl; runAuto's probe
-    // and the iterative loop both execute eagerly (limit-collect /
-    // per-iteration checkpoint + convergence count), so the restore in
+    // the driver-graph guard pinned to 0 = FORCE-distributed (r8; was 1),
+    // so the pointer-doubling loop — the path a >2M-edge production graph
+    // actually executes — produces the DuckDB-green row itself WITHOUT
+    // first paying runAuto's probe, whose take()s execute the full
+    // tag→link→set-build lineage once just to learn what the pin already
+    // says (~0.25 s of the gate, OPTIMIZATION_r08.md). The conf is
+    // set/restored INSIDE the impl; the iterative loop executes eagerly
+    // (per-iteration checkpoint + convergence count), so the restore in
     // `finally` cannot race the plan. Oracle: identical recursive-CTE SQL
-    // as j3_canon — the two paths must agree bit-for-bit, now checked
-    // cross-engine, not only by the conf-forced equivalence spec
-    // (CacheLinkCcSpec).
+    // as j3_canon — the two paths must agree bit-for-bit, checked
+    // cross-engine, plus the conf-forced equivalence specs at BOTH guard
+    // values (CacheLinkCcSpec: 1 = probe-overflow, 0 = force).
     QuerySpec("j3_canon_dist",
       (s, dir) => {
         val key = ConnectedComponents.maxDriverGraphConfKey
         val prev = s.conf.getOption(key)
-        s.conf.set(key, "1")
+        s.conf.set(key, "0")
         try canonQuery(s, dir)
         finally prev match {
           case Some(v) => s.conf.set(key, v)

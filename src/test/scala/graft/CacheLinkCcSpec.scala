@@ -153,6 +153,20 @@ class CacheLinkCcSpec extends AnyFunSuite {
         .as[(String, String)].collect().toMap
       assert(fb == got, "distributed CC fallback must produce the same map")
     } finally spark.conf.unset(ConnectedComponents.maxDriverGraphConfKey)
+    // bound 0 = FORCE-distributed (r8): skips the probe entirely — the
+    // j3_canon_dist gate's pin — and must still produce the identical map
+    // WITHOUT a driver-built LocalRelation result
+    spark.conf.set(ConnectedComponents.maxDriverGraphConfKey, "0")
+    try {
+      val forced = KgPipeline.canonMap(spark, links, Seq("doc_id"))
+      val forcedDriverBuilt = forced.queryExecution.analyzed.collectLeaves()
+        .forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(!forcedDriverBuilt,
+        "bound 0 must force the distributed loop, never the driver path")
+      assert(forced.as[(String, String)].collect().toMap == got,
+        "force-distributed CC must produce the same map")
+    } finally spark.conf.unset(ConnectedComponents.maxDriverGraphConfKey)
   }
 
   test("J3: byte-aware guard — long-id graph auto-falls back to the distributed loop") {
